@@ -1,0 +1,142 @@
+"""Benchmark: stage-1 VQ-GAN training images/sec/chip (BASELINE config #2 —
+128×128, codebook 8192, LPIPS + PatchGAN, two-optimizer fused step).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+vs_baseline = TPU images/sec divided by the same step measured on one CPU
+host (the driver's "≥10× CPU-baseline" target). The CPU number is measured
+once in a subprocess (JAX_PLATFORMS must be pinned in-process — the
+environment re-pins axon at interpreter startup) and cached in
+.bench_cache.json.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).parent
+sys.path.insert(0, str(REPO))
+
+BATCH = 8
+IMAGE_SIZE = 128
+CODEBOOK = 8192
+EMBED_DIM = 256
+TIMED_STEPS = 10
+CACHE = REPO / ".bench_cache.json"
+
+
+def build_step(dtype_str: str = "bfloat16"):
+    import jax
+    import jax.numpy as jnp
+
+    from vqgan_tpu.models import VQVAE
+    from vqgan_tpu.models.discriminator import PatchGANDiscriminator
+    from vqgan_tpu.models.lpips import LPIPS, perceptual_loss_fn
+    from vqgan_tpu.training import (
+        VQGANTrainState, make_gan_optimizers, make_vqgan_train_step)
+
+    dtype = jnp.bfloat16 if dtype_str == "bfloat16" else jnp.float32
+
+    vqvae = VQVAE(ch=128, ch_mult=(1, 2, 2, 4), num_res_blocks=2,
+                  resolution=IMAGE_SIZE, z_channels=256,
+                  num_embeddings=CODEBOOK, embedding_dim=EMBED_DIM,
+                  dtype=dtype)
+    disc = PatchGANDiscriminator(ndf=64, n_layers=3, norm="batch",
+                                 dtype=dtype)
+    lpips = LPIPS(dtype=dtype)
+
+    x = jnp.zeros((BATCH, IMAGE_SIZE, IMAGE_SIZE, 3))
+    vq_params = vqvae.init(jax.random.PRNGKey(0), x)
+    disc_vars = disc.init(jax.random.PRNGKey(1), x)
+    lpips_params = lpips.init(jax.random.PRNGKey(2), x, x)
+    disc_params = {"params": disc_vars["params"]}
+    disc_stats = {"batch_stats": disc_vars["batch_stats"]}
+
+    def vqvae_apply(params, images):
+        return vqvae.apply(params, images)
+
+    def disc_apply(params, stats, images, train):
+        if train:
+            logits, upd = disc.apply({**params, **stats}, images, train=True,
+                                     mutable=["batch_stats"])
+            return logits, {"batch_stats": upd["batch_stats"]}
+        return disc.apply({**params, **stats}, images, train=False), stats
+
+    opt_g, opt_d = make_gan_optimizers()
+    step_fn = make_vqgan_train_step(
+        vqvae_apply, disc_apply, opt_g, opt_d, disc_start=2,
+        perceptual_fn=perceptual_loss_fn(lpips_params, lpips), donate=True)
+    state = VQGANTrainState(
+        step=jnp.asarray(0), vqvae_params=vq_params,
+        disc_params=disc_params, disc_stats=disc_stats,
+        opt_g=opt_g.init(vq_params), opt_d=opt_d.init(disc_params))
+    images = jax.random.uniform(
+        jax.random.PRNGKey(3), (BATCH, IMAGE_SIZE, IMAGE_SIZE, 3))
+    return step_fn, state, images
+
+
+def measure(timed_steps: int = TIMED_STEPS, warmup: int = 3) -> float:
+    import jax
+
+    step_fn, state, images = build_step()
+    for _ in range(warmup):
+        state, log = step_fn(state, images)
+    jax.block_until_ready(log["loss_total"])
+
+    t0 = time.perf_counter()
+    for _ in range(timed_steps):
+        state, log = step_fn(state, images)
+    jax.block_until_ready(log["loss_total"])
+    dt = time.perf_counter() - t0
+    return timed_steps * BATCH / dt
+
+
+def cpu_baseline() -> float:
+    if os.environ.get("BENCH_CPU_IPS"):
+        return float(os.environ["BENCH_CPU_IPS"])
+    if CACHE.exists():
+        try:
+            return json.loads(CACHE.read_text())["cpu_ips"]
+        except Exception:
+            pass
+    code = (
+        "import os; os.environ['JAX_PLATFORMS']='cpu';"
+        f"import sys; sys.path.insert(0, {str(REPO)!r});"
+        "from bench import measure; import json;"
+        "print('CPU_IPS=' + json.dumps(measure(timed_steps=2, warmup=1)))"
+    )
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=3600,
+        )
+        for line in out.stdout.splitlines():
+            if line.startswith("CPU_IPS="):
+                ips = float(line.split("=", 1)[1])
+                CACHE.write_text(json.dumps({"cpu_ips": ips}))
+                return ips
+        print(out.stdout[-2000:], out.stderr[-2000:], file=sys.stderr)
+    except subprocess.TimeoutExpired:
+        print("CPU baseline timed out", file=sys.stderr)
+    return float("nan")
+
+
+def main():
+    ips = measure()
+    cpu_ips = cpu_baseline()
+    vs = ips / cpu_ips if cpu_ips == cpu_ips and cpu_ips > 0 else None
+    print(json.dumps({
+        "metric": "stage1 VQ-GAN train throughput "
+                  f"({IMAGE_SIZE}px, codebook {CODEBOOK}, LPIPS+PatchGAN)",
+        "value": round(ips, 3),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(vs, 2) if vs is not None else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,169 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vqgan_tpu.diffusion import GaussianDiffusion
+from vqgan_tpu.models import CFGUnet
+
+
+def test_oracle_x0_ddim_sampler_converges():
+    # a perfect pred_x0 model always returns the target image; the DDIM
+    # sampler must reproduce it exactly regardless of start noise
+    target = jax.random.uniform(jax.random.PRNGKey(0), (2, 8, 8, 3)) * 2 - 1
+
+    def model_apply(params, x, t, classes=None, **kwargs):
+        return jnp.broadcast_to(target, x.shape)
+
+    gd = GaussianDiffusion(
+        model_apply, image_size=8, channels=3, timesteps=100,
+        sampling_timesteps=10, objective="pred_x0", auto_normalize=False,
+    )
+    out = gd.sample({}, jax.random.PRNGKey(1), batch_size=2, cond_scale=1.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(target), atol=1e-4)
+
+
+def test_oracle_ancestral_sampler_converges():
+    target = jax.random.uniform(jax.random.PRNGKey(2), (1, 8, 8, 3)) * 2 - 1
+
+    def model_apply(params, x, t, classes=None, **kwargs):
+        return jnp.broadcast_to(target, x.shape)
+
+    gd = GaussianDiffusion(
+        model_apply, image_size=8, channels=3, timesteps=50,
+        objective="pred_x0", auto_normalize=False,
+    )
+    assert not gd.is_ddim_sampling
+    out = gd.sample({}, jax.random.PRNGKey(3), batch_size=1, cond_scale=1.0)
+    # ancestral adds noise along the way but must land very close at t=0
+    np.testing.assert_allclose(np.asarray(out), np.asarray(target), atol=0.05)
+
+
+def test_cfg_batched_double_forward_consistency():
+    # when the model ignores the null mask, CFG output at any scale must
+    # equal the conditional prediction
+    def model_apply(params, x, t, classes=None, cond_drop_mask=None, **kw):
+        return x * 0.1
+
+    gd = GaussianDiffusion(
+        model_apply, image_size=8, channels=3, timesteps=100,
+        objective="pred_noise", auto_normalize=False,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 8, 8, 3))
+    t = jnp.array([10, 50])
+    classes = jnp.array([0, 1])
+    pn1, xs1 = gd.model_predictions(
+        {}, x, t, classes, cond_scale=1.0, rescaled_phi=0.0)
+    pn6, xs6 = gd.model_predictions(
+        {}, x, t, classes, cond_scale=6.0, rescaled_phi=0.0)
+    np.testing.assert_allclose(np.asarray(pn1), np.asarray(pn6), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(xs1), np.asarray(xs6), atol=1e-5)
+
+
+def test_loss_weight_and_value():
+    # model predicting exactly zero noise → per-sample loss = mean(noise²) ≈ 1
+    def model_apply(params, x, t, classes=None, **kwargs):
+        return jnp.zeros_like(x)
+
+    gd = GaussianDiffusion(
+        model_apply, image_size=8, channels=3, timesteps=100,
+        objective="pred_noise", auto_normalize=False,
+    )
+    loss = gd.loss({}, jax.random.PRNGKey(5),
+                   jnp.zeros((64, 8, 8, 3)))
+    assert 0.7 < float(loss) < 1.3
+
+
+def test_unknown_objective_raises():
+    with pytest.raises(ValueError):
+        GaussianDiffusion(lambda *a, **k: None, image_size=8,
+                          objective="pred_eps")
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg_unet():
+    model = CFGUnet(
+        dim=16, num_classes=5, dim_mults=(1, 2), channels=4,
+        cond_drop_prob=0.5, attn_heads=2, attn_dim_head=8,
+    )
+    x = jnp.zeros((2, 8, 8, 4))
+    t = jnp.zeros((2,), jnp.int32)
+    c = jnp.zeros((2,), jnp.int32)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "cond_drop": jax.random.PRNGKey(1)},
+        x, t, c,
+    )
+    return model, params
+
+
+def test_cfg_unet_shapes(tiny_cfg_unet):
+    model, params = tiny_cfg_unet
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 8, 8, 4))
+    t = jnp.array([3, 7])
+    c = jnp.array([1, 4])
+    out = model.apply(params, x, t, c,
+                      cond_drop_mask=jnp.zeros((2,), bool))
+    assert out.shape == (2, 8, 8, 4)
+    assert out.dtype == jnp.float32
+
+
+def test_cfg_unet_null_mask_erases_class_identity(tiny_cfg_unet):
+    model, params = tiny_cfg_unet
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 8, 8, 4))
+    t = jnp.array([5, 5])
+    # different classes, both dropped → identical outputs
+    out_a = model.apply(params, x, jnp.array([5, 5]), jnp.array([0, 0]),
+                        cond_drop_mask=jnp.ones((2,), bool))
+    out_b = model.apply(params, x, t, jnp.array([3, 4]),
+                        cond_drop_mask=jnp.ones((2,), bool))
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), atol=1e-6)
+    # and without dropping, classes DO matter
+    out_c = model.apply(params, x, t, jnp.array([3, 4]),
+                        cond_drop_mask=jnp.zeros((2,), bool))
+    assert float(jnp.abs(out_b - out_c).max()) > 1e-4
+
+
+def test_cfg_unet_feature_tap(tiny_cfg_unet):
+    model, params = tiny_cfg_unet
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 8, 8, 4))
+    out, feats = model.apply(
+        params, x, jnp.array([1, 2]), jnp.array([0, 1]),
+        cond_drop_mask=jnp.zeros((2,), bool), return_features=True,
+    )
+    assert out.shape == (2, 8, 8, 4)
+    assert feats.shape == (2, 32)  # mid dim = 16*2
+    np.testing.assert_allclose(
+        np.asarray(jnp.linalg.norm(feats, axis=-1)), 1.0, rtol=1e-5
+    )
+
+
+def test_cfg_unet_end_to_end_diffusion_loss(tiny_cfg_unet):
+    model, params = tiny_cfg_unet
+
+    def model_apply(p, x, t, classes, cond_drop_mask=None, cond_drop_prob=None,
+                    rng=None, return_features=False):
+        rngs = {"cond_drop": rng} if rng is not None else None
+        return model.apply(p, x, t, classes, cond_drop_mask=cond_drop_mask,
+                           cond_drop_prob=cond_drop_prob, rngs=rngs,
+                           return_features=return_features)
+
+    gd = GaussianDiffusion(
+        model_apply, image_size=8, channels=4, timesteps=100,
+        sampling_timesteps=5, objective="pred_v", min_snr_loss_weight=True,
+        auto_normalize=False,
+    )
+    imgs = jax.random.normal(jax.random.PRNGKey(5), (2, 8, 8, 4))
+    classes = jnp.array([1, 2])
+    loss = gd.loss(params, jax.random.PRNGKey(6), imgs, classes,
+                   cond_drop_prob=0.5)
+    assert jnp.isfinite(loss)
+    # gradients flow to every parameter group
+    g = jax.grad(lambda p: gd.loss(p, jax.random.PRNGKey(6), imgs, classes,
+                                   cond_drop_prob=0.5))(params)
+    total = sum(float(jnp.abs(l).sum()) for l in jax.tree.leaves(g))
+    assert total > 0
+    # full CFG sampling pass
+    out = gd.sample(params, jax.random.PRNGKey(7), classes=classes,
+                    cond_scale=3.0, rescaled_phi=0.7)
+    assert out.shape == (2, 8, 8, 4)
+    assert bool(jnp.isfinite(out).all())

@@ -1,0 +1,11 @@
+from .autoencoder import (
+    AutoencoderConfig,
+    Decoder,
+    DiagonalGaussian,
+    Encoder,
+    KLVAE,
+    kl_vae_loss,
+)
+from .unet import Unet
+from .unet_cfg import CFGUnet
+from .vq_vae import VectorQuantizer, VQVAE

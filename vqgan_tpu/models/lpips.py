@@ -1,0 +1,146 @@
+"""LPIPS perceptual distance (Zhang et al. 2018) with a VGG16 backbone,
+in pure flax — XLA-compiled on TPU.
+
+Replaces the reference's dependence on the `lpips` wheel
+(/root/reference/vqgan_ldm_baseline/models/losses.py:53) whose VGG forward is
+a black-box CUDA graph. Weight parity: `load_torch_lpips_weights` imports the
+exact tensors from a torchvision VGG16 state-dict + lpips linear-layer
+checkpoint so FID/recon comparisons against the reference are apples-to-apples.
+
+Zero-egress note: pretrained weights cannot be downloaded in this
+environment; without a weight file the module runs with its random
+initialization (fine for smoke tests and for exercising the training path —
+NOT a calibrated perceptual metric until real weights are loaded).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Dtype = Any
+
+__all__ = ["VGG16Features", "LPIPS", "load_torch_lpips_weights"]
+
+# torchvision VGG16 conv layout: channels per conv, 'M' = maxpool
+_VGG16_CFG = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+              512, 512, 512, "M", 512, 512, 512]
+# LPIPS taps the activation after each of these ReLUs (relu1_2 … relu5_3)
+_TAP_AFTER_CONV = [1, 3, 6, 9, 12]  # 0-based conv index
+_TAP_CHANNELS = [64, 128, 256, 512, 512]
+
+# ImageNet normalization the lpips wheel applies internally ("scaling layer"),
+# expressed for inputs already in [-1, 1].
+_SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
+_SCALE = np.array([0.458, 0.448, 0.450], np.float32)
+
+
+class VGG16Features(nn.Module):
+    """VGG16 trunk returning the five LPIPS tap activations. NHWC."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x) -> Sequence[jax.Array]:
+        taps = []
+        conv_idx = 0
+        for spec in _VGG16_CFG:
+            if spec == "M":
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+                continue
+            x = nn.Conv(spec, (3, 3), padding=1, dtype=self.dtype,
+                        param_dtype=jnp.float32,
+                        name=f"conv_{conv_idx}")(x)
+            x = nn.relu(x)
+            if conv_idx in _TAP_AFTER_CONV:
+                taps.append(x)
+            conv_idx += 1
+        return taps
+
+
+class LPIPS(nn.Module):
+    """Perceptual distance: normalized VGG feature differences, 1x1-conv
+    weighted, spatially averaged, summed over layers.
+
+    __call__(x, y) takes images in [-1, 1], NHWC, returns [B] distances.
+    """
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, y):
+        shift = jnp.asarray(_SHIFT)
+        scale = jnp.asarray(_SCALE)
+        norm_in = lambda t: (t - shift) / scale
+
+        vgg = VGG16Features(dtype=self.dtype, name="vgg")
+        feats_x = vgg(norm_in(x.astype(jnp.float32)))
+        feats_y = vgg(norm_in(y.astype(jnp.float32)))
+
+        total = 0.0
+        for i, (fx, fy) in enumerate(zip(feats_x, feats_y)):
+            # unit-normalize along channels
+            unit = lambda f: f * jax.lax.rsqrt(
+                jnp.sum(f * f, axis=-1, keepdims=True) + 1e-10)
+            diff = (unit(fx) - unit(fy)) ** 2
+            # learned per-channel weights (lpips "lin" layers), non-negative
+            w = self.param(f"lin_{i}", nn.initializers.constant(1.0),
+                           (_TAP_CHANNELS[i],), jnp.float32)
+            weighted = jnp.sum(diff * jnp.abs(w), axis=-1)  # [B, H, W]
+            total = total + jnp.mean(weighted, axis=(1, 2))
+        return total
+
+
+def perceptual_loss_fn(lpips_params, lpips_module: LPIPS | None = None):
+    """Build a frozen perceptual_fn(recon, inputs) over [0,1] images for the
+    GAN loss (renormalizes to [-1,1] internally, reference losses.py:127-129).
+    """
+    module = lpips_module or LPIPS()
+
+    def fn(recon, inputs):
+        return module.apply(
+            lpips_params,
+            recon * 2.0 - 1.0,
+            inputs * 2.0 - 1.0,
+        )
+
+    return fn
+
+
+def load_torch_lpips_weights(
+    vgg_state: Dict[str, np.ndarray], lin_state: Dict[str, np.ndarray]
+):
+    """Convert torchvision VGG16 `features.*` conv weights (OIHW) and lpips
+    `lin{i}.model.1.weight` tensors into this module's param tree (HWIO).
+
+    Accepts plain dicts of numpy arrays (export the torch checkpoint to .npz
+    first; no torch dependency here).
+    """
+    params = {"vgg": {}}
+    # torchvision indexes convs by their nn.Sequential position
+    seq_positions = []
+    pos = 0
+    for spec in _VGG16_CFG:
+        if spec == "M":
+            pos += 1
+            continue
+        seq_positions.append(pos)
+        pos += 2  # conv + relu
+
+    for conv_idx, seq_pos in enumerate(seq_positions):
+        w = np.asarray(vgg_state[f"features.{seq_pos}.weight"])
+        b = np.asarray(vgg_state[f"features.{seq_pos}.bias"])
+        params["vgg"][f"conv_{conv_idx}"] = {
+            "kernel": jnp.asarray(w.transpose(2, 3, 1, 0)),  # OIHW → HWIO
+            "bias": jnp.asarray(b),
+        }
+
+    for i in range(5):
+        w = np.asarray(lin_state[f"lin{i}.model.1.weight"])  # [1, C, 1, 1]
+        params[f"lin_{i}"] = jnp.asarray(w.reshape(-1))
+
+    return {"params": params}

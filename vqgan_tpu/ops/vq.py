@@ -1,0 +1,269 @@
+"""Fused vector-quantization lookup for TPU.
+
+Replaces the reference's three-kernel CUDA sequence (pairwise-distance matmul
+→ argmin → embedding gather, /root/reference/vqgan_ldm_baseline/models/
+quantizer.py:68-80) with ONE Pallas kernel:
+
+- distances via ‖z‖² + ‖e‖² − 2·z·Eᵀ with the matmul on the MXU and fp32
+  accumulation,
+- running argmin over codebook tiles (scores never materialize in HBM),
+- the gather expressed as a one-hot × codebook matmul (MXU-friendly; no
+  dynamic gather on the VPU),
+- per-tile code-usage histogram fused in (the collapse monitor the reference
+  computes separately via bincount, quantizer.py:134-149).
+
+Gradient contract (custom_vjp): z_q is differentiable w.r.t. the codebook
+(scatter-add of cotangents into the selected rows) and has zero gradient to
+z — the straight-through estimator and the codebook/commitment losses are
+composed OUTSIDE in plain jnp (see models/vq_vae.py), exactly mirroring the
+reference's autograd semantics.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = [
+    "vq_lookup",
+    "vq_lookup_reference",
+    "codebook_usage",
+    "ema_codebook_update",
+]
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# reference (pure jnp) path — used on CPU and as the parity oracle
+# ---------------------------------------------------------------------------
+
+
+def _vq_forward_reference(z: jax.Array, codebook: jax.Array):
+    """z: [N, D], codebook: [K, D] → (z_q [N, D], indices [N] int32)."""
+    z32 = z.astype(jnp.float32)
+    e32 = codebook.astype(jnp.float32)
+    d = (
+        jnp.sum(z32**2, axis=1, keepdims=True)
+        + jnp.sum(e32**2, axis=1)
+        - 2.0 * jnp.dot(z32, e32.T, preferred_element_type=jnp.float32)
+    )
+    indices = jnp.argmin(d, axis=1).astype(jnp.int32)
+    z_q = jnp.take(codebook, indices, axis=0)
+    return z_q, indices
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel
+# ---------------------------------------------------------------------------
+
+
+def _vq_kernel(z_ref, e_ref, zq_ref, idx_ref, usage_ref, *, block_k, k_actual,
+               n_actual, block_n):
+    """One program per z tile: [BN, D] against the full codebook in VMEM."""
+    z = z_ref[:].astype(jnp.float32)  # [BN, D]
+    bn = z.shape[0]
+    k_padded = e_ref.shape[0]
+    num_kb = k_padded // block_k
+
+    z_sq = jnp.sum(z * z, axis=1, keepdims=True)  # [BN, 1]
+
+    def find_body(i, carry):
+        best_d, best_i = carry
+        e = e_ref[pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        e_sq = jnp.sum(e * e, axis=1)[None, :]  # [1, BK]
+        cross = jax.lax.dot_general(
+            z, e, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [BN, BK]
+        dist = z_sq + e_sq - 2.0 * cross
+        # mask padded codebook rows
+        col = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1) + i * block_k
+        dist = jnp.where(col < k_actual, dist, jnp.inf)
+
+        tile_min = jnp.min(dist, axis=1, keepdims=True)
+        tile_arg = jnp.argmin(dist, axis=1).astype(jnp.int32)[:, None] + i * block_k
+        take = tile_min < best_d
+        return jnp.where(take, tile_min, best_d), jnp.where(take, tile_arg, best_i)
+
+    best_d0 = jnp.full((bn, 1), jnp.inf, jnp.float32)
+    best_i0 = jnp.zeros((bn, 1), jnp.int32)
+    _, best_i = jax.lax.fori_loop(0, num_kb, find_body, (best_d0, best_i0))
+    idx = best_i[:, 0]
+    idx_ref[:] = best_i  # [BN, 1]
+
+    # fused gather: z_q = onehot(idx) @ E, accumulated over codebook tiles on
+    # the MXU — avoids a dynamic row gather.
+    def gather_body(i, acc):
+        e = e_ref[pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        col = jax.lax.broadcasted_iota(jnp.int32, (bn, block_k), 1) + i * block_k
+        onehot = (col == idx[:, None]).astype(jnp.float32)
+        return acc + jax.lax.dot_general(
+            onehot, e, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    zq = jax.lax.fori_loop(
+        0, num_kb, gather_body, jnp.zeros((bn, z.shape[1]), jnp.float32)
+    )
+    zq_ref[:] = zq.astype(zq_ref.dtype)
+
+    # fused usage histogram, accumulated across sequential grid programs
+    pid = pl.program_id(0)
+
+    @pl.when(pid == 0)
+    def _():
+        usage_ref[:] = jnp.zeros_like(usage_ref)
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (bn, 1), 0) + pid * block_n
+    valid = row < n_actual  # [BN, 1]
+    kcol = jax.lax.broadcasted_iota(jnp.int32, (bn, k_padded), 1)
+    onehot_full = jnp.logical_and(kcol == idx[:, None], valid)
+    usage_ref[:] += jnp.sum(
+        onehot_full.astype(jnp.int32), axis=0, keepdims=True
+    )  # [1, K]
+
+
+def _vq_forward_pallas(
+    z: jax.Array,
+    codebook: jax.Array,
+    block_n: int = 1024,
+    block_k: int = 512,
+    interpret: bool = False,
+):
+    n, d = z.shape
+    k = codebook.shape[0]
+
+    block_k = min(block_k, _round_up(k, 128))
+    block_n = min(block_n, _round_up(n, 8))
+    n_pad = _round_up(n, block_n)
+    k_pad = _round_up(k, block_k)
+
+    zp = jnp.pad(z, ((0, n_pad - n), (0, 0))) if n_pad != n else z
+    ep = jnp.pad(codebook, ((0, k_pad - k), (0, 0))) if k_pad != k else codebook
+
+    grid = (n_pad // block_n,)
+    kernel = functools.partial(
+        _vq_kernel, block_k=block_k, k_actual=k, n_actual=n, block_n=block_n
+    )
+    z_q, idx, usage = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_n, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_pad, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_n, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, d), codebook.dtype),
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, k_pad), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n_pad * k_pad * d,
+            bytes_accessed=(n_pad * d * 2 + k_pad * d) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(zp, ep)
+    return z_q[:n], idx[:n, 0], usage[0, :k]
+
+
+# ---------------------------------------------------------------------------
+# public differentiable op
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def vq_lookup(z, codebook, use_kernel: str | bool = "auto",
+              interpret: bool = False):
+    """Nearest-codebook lookup. z: [N, D], codebook: [K, D].
+
+    Returns (z_q [N, D], indices [N] int32, usage [K] int32).
+    z_q carries gradient to `codebook` only (scatter-add); compose the
+    straight-through estimator outside.
+    """
+    out, _ = _vq_fwd(z, codebook, use_kernel, interpret)
+    return out
+
+
+def _dispatch(z, codebook, use_kernel, interpret):
+    if use_kernel == "auto":
+        use_kernel = jax.default_backend() == "tpu"
+    if use_kernel:
+        return _vq_forward_pallas(z, codebook, interpret=interpret)
+    z_q, idx = _vq_forward_reference(z, codebook)
+    usage = codebook_usage(idx, codebook.shape[0])
+    return z_q, idx, usage
+
+
+def _vq_fwd(z, codebook, use_kernel, interpret):
+    z_q, idx, usage = _dispatch(z, codebook, use_kernel, interpret)
+    return (z_q, idx, usage), (idx, codebook.shape[0])
+
+
+def _vq_bwd(use_kernel, interpret, res, g):
+    g_zq, _, _ = g
+    idx, k = res
+    g_codebook = jnp.zeros((k, g_zq.shape[1]), g_zq.dtype).at[idx].add(g_zq)
+    return jnp.zeros((idx.shape[0], g_zq.shape[1]), g_zq.dtype), g_codebook
+
+
+vq_lookup.defvjp(_vq_fwd, _vq_bwd)
+
+
+def vq_lookup_reference(z, codebook):
+    """Differentiability-free jnp oracle for tests."""
+    return _vq_forward_reference(z, codebook)
+
+
+def codebook_usage(indices: jax.Array, num_embeddings: int) -> jax.Array:
+    """Per-code use counts (bincount with static length)."""
+    return jnp.zeros((num_embeddings,), jnp.int32).at[
+        indices.reshape(-1)
+    ].add(1)
+
+
+def ema_codebook_update(
+    codebook: jax.Array,
+    cluster_size: jax.Array,
+    cluster_sum: jax.Array,
+    z: jax.Array,
+    indices: jax.Array,
+    decay: float = 0.99,
+    eps: float = 1e-5,
+):
+    """Optional EMA codebook update (VQ-VAE-2 style; the reference learns the
+    codebook with Adam instead — quantizer.py has no EMA. Provided as a
+    framework capability, off by default).
+
+    Returns (new_codebook, new_cluster_size, new_cluster_sum).
+    """
+    k, d = codebook.shape
+    onehot = jax.nn.one_hot(indices, k, dtype=jnp.float32)
+    counts = jnp.sum(onehot, axis=0)
+    sums = jnp.dot(onehot.T, z.astype(jnp.float32),
+                   preferred_element_type=jnp.float32)
+
+    new_size = cluster_size * decay + counts * (1 - decay)
+    new_sum = cluster_sum * decay + sums * (1 - decay)
+
+    n = jnp.sum(new_size)
+    smoothed = (new_size + eps) / (n + k * eps) * n
+    new_codebook = (new_sum / smoothed[:, None]).astype(codebook.dtype)
+    return new_codebook, new_size, new_sum

@@ -1,0 +1,7 @@
+from .ema import ema_update
+from .ldm_step import LDMTrainState, make_ldm_optimizer, make_ldm_train_step
+from .vqgan_step import (
+    VQGANTrainState,
+    make_gan_optimizers,
+    make_vqgan_train_step,
+)

@@ -1,0 +1,233 @@
+"""Stage-2 latent-diffusion trainer.
+
+Behavior target: /root/reference/train_latent_cfg.py:347-799
+(LatentDiffusionTrainer) — frozen KL-VAE, LatentDataset over the cached
+latents, CFG U-Net + GaussianDiffusion (T=1000, DDIM 150, pred_v, cosine,
+Min-SNR γ=5, auto_normalize=False), Adam + weight decay, EMA, loss-health
+watchdog, periodic sample+checkpoint with `sample-{m}.png` grids and
+milestone+latest checkpoints, resume via `load(milestone)`.
+
+TPU-native: one jitted train step (training/ldm_step.py) with fused EMA;
+sampling is a compiled `lax.scan` DDIM program reused across milestones.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..checkpoint import CheckpointManager
+from ..configs import LDMConfig
+from ..data import BatchLoader, LatentCache, LatentDataset, load_split
+from ..diffusion import GaussianDiffusion
+from ..models import CFGUnet, KLVAE
+from ..models.autoencoder import AutoencoderConfig
+from ..parallel import make_mesh, replicate, shard_batch
+from .ldm_step import LDMTrainState, make_ldm_optimizer, make_ldm_train_step
+from .watchdog import TrainingWatchdog, check_sample_range
+
+__all__ = ["LatentDiffusionTrainer", "build_cfg_unet_diffusion"]
+
+
+def build_cfg_unet_diffusion(cfg: LDMConfig, dtype=None):
+    """Construct the CFG U-Net + GaussianDiffusion pair from a config."""
+    dtype = dtype or (
+        jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32)
+    model = CFGUnet(
+        dim=cfg.dim, num_classes=cfg.num_users,
+        cond_drop_prob=cfg.cond_drop_prob, dim_mults=tuple(cfg.dim_mults),
+        channels=cfg.latent_channels, attn_dim_head=cfg.attn_dim_head,
+        attn_heads=cfg.attn_heads, dtype=dtype,
+    )
+
+    def model_apply(p, x, t, classes, cond_drop_mask=None,
+                    cond_drop_prob=None, rng=None, return_features=False):
+        rngs = {"cond_drop": rng} if rng is not None else None
+        return model.apply(p, x, t, classes, cond_drop_mask=cond_drop_mask,
+                           cond_drop_prob=cond_drop_prob, rngs=rngs,
+                           return_features=return_features)
+
+    diffusion = GaussianDiffusion(
+        model_apply, image_size=cfg.latent_size,
+        channels=cfg.latent_channels, timesteps=cfg.timesteps,
+        sampling_timesteps=cfg.sampling_timesteps, objective=cfg.objective,
+        beta_schedule=cfg.beta_schedule,
+        min_snr_loss_weight=cfg.min_snr_loss_weight,
+        min_snr_gamma=cfg.min_snr_gamma, auto_normalize=cfg.auto_normalize,
+    )
+    return model, diffusion
+
+
+class LatentDiffusionTrainer:
+    def __init__(
+        self,
+        config: LDMConfig,
+        split_path: Optional[str] = None,
+        vae_params=None,
+        use_mesh: bool = True,
+    ):
+        self.config = cfg = config
+        self.model, self.diffusion = build_cfg_unet_diffusion(cfg)
+
+        key = jax.random.PRNGKey(cfg.seed)
+        x0 = jnp.zeros(
+            (2, cfg.latent_size, cfg.latent_size, cfg.latent_channels))
+        params = self.model.init(
+            {"params": key}, x0, jnp.zeros((2,), jnp.int32),
+            jnp.zeros((2,), jnp.int32),
+            cond_drop_mask=jnp.zeros((2,), bool))
+        n_params = sum(x.size for x in jax.tree.leaves(params))
+        print(f"CFG U-Net parameters: {n_params / 1e6:.1f}M")
+
+        self.optimizer = make_ldm_optimizer(
+            learning_rate=cfg.train_lr, weight_decay=cfg.weight_decay,
+            betas=cfg.adam_betas,
+            max_grad_norm=cfg.max_grad_norm or None,
+            warmup_steps=cfg.warmup_steps if cfg.use_lr_warmup else 0,
+            gradient_accumulate_every=cfg.gradient_accumulate_every,
+        )
+        self.train_step = make_ldm_train_step(
+            self.diffusion, self.optimizer,
+            cond_drop_prob=cfg.cond_drop_prob,
+            contrastive_weight=(cfg.contrastive_weight
+                                if cfg.use_contrastive_loss else 0.0),
+            contrastive_start_step=cfg.contrastive_start_step,
+            contrastive_temperature=cfg.contrastive_temperature,
+            ema_decay=cfg.ema_decay, ema_update_every=cfg.ema_update_every,
+        )
+        self.state = LDMTrainState(
+            step=jnp.asarray(0), params=params,
+            opt_state=self.optimizer.init(params),
+            ema_params=jax.tree.map(jnp.copy, params),
+        )
+
+        self.mesh = make_mesh() if use_mesh else None
+        if self.mesh is not None:
+            self.state = replicate(self.state, self.mesh)
+
+        # frozen VAE decoder for visualization (optional)
+        self.vae = None
+        self.vae_params = vae_params
+        if vae_params is not None:
+            self.vae = KLVAE(config=AutoencoderConfig(
+                resolution=cfg.image_size, z_channels=cfg.latent_channels))
+
+        # data
+        self.loader = None
+        if split_path is not None:
+            split = load_split(split_path)
+            cache = LatentCache(cfg.latents_cache_folder)
+            encode_fn = None
+            if self.vae is not None:
+                encode_fn = jax.jit(lambda img: self.vae.apply(
+                    self.vae_params, img, method=KLVAE.encode_images_mean))
+            dataset = LatentDataset(
+                cfg.data_path, split, cache, image_size=cfg.image_size,
+                encode_fn=encode_fn,
+                images_per_user=cfg.images_per_user_train, seed=cfg.seed)
+            self.loader = BatchLoader(
+                dataset, cfg.train_batch_size, shuffle=True, seed=cfg.seed,
+                repeat=True)
+
+        self.ckpt = CheckpointManager(cfg.results_folder, prefix="model")
+        self.watchdog = TrainingWatchdog()
+        self._rng = jax.random.PRNGKey(cfg.seed + 1)
+
+    # ------------------------------------------------------------------
+
+    def _put(self, x):
+        return shard_batch(x, self.mesh) if self.mesh is not None else x
+
+    def train(self, num_steps: Optional[int] = None, log_every: int = 50):
+        cfg = self.config
+        num_steps = num_steps or cfg.train_num_steps
+        assert self.loader is not None, "no dataset configured"
+        it = iter(self.loader)
+
+        t0 = time.time()
+        start = int(jax.device_get(self.state.step))
+        for step in range(start, num_steps):
+            latents, labels = next(it)
+            self.state, log = self.train_step(
+                self.state, self._put(jnp.asarray(latents)),
+                self._put(jnp.asarray(labels)), self._rng)
+
+            if (step + 1) % log_every == 0:
+                host = {k: float(v) for k, v in jax.device_get(log).items()}
+                ips = log_every * cfg.train_batch_size / (time.time() - t0)
+                t0 = time.time()
+                msg = (f"step {step + 1}/{num_steps} "
+                       f"loss={host['loss']:.4f}")
+                if "contrastive_loss" in host:
+                    msg += f" contrastive={host['contrastive_loss']:.4f}"
+                print(msg + f" ({ips:.1f} latents/s)")
+                for w in self.watchdog.check(step + 1, host["loss"]):
+                    print(f"  [watchdog] {w}")
+
+            if (step + 1) % cfg.save_and_sample_every == 0:
+                self.save_and_sample(
+                    (step + 1) // cfg.save_and_sample_every)
+
+    # ------------------------------------------------------------------
+
+    def sample(self, num_samples: Optional[int] = None, use_ema=None,
+               key=None):
+        cfg = self.config
+        n = num_samples or cfg.num_samples
+        use_ema = cfg.use_ema if use_ema is None else use_ema
+        params = self.state.ema_params if use_ema else self.state.params
+        classes = jnp.arange(n, dtype=jnp.int32) % cfg.num_users
+        key = key if key is not None else jax.random.PRNGKey(0)
+        latents = self.diffusion.sample(
+            params, key, classes=classes, cond_scale=cfg.cond_scale,
+            rescaled_phi=cfg.rescaled_phi)
+        return latents, classes
+
+    def save_and_sample(self, milestone: int):
+        cfg = self.config
+        try:
+            latents, _ = self.sample()
+            if self.vae is not None:
+                images = self.vae.apply(
+                    self.vae_params, latents, method=KLVAE.decode_latents)
+                images = np.asarray(images)
+                warn = check_sample_range(images)
+                if warn:
+                    print(f"  [watchdog] {warn}")
+                self._save_grid(images, milestone)
+        except Exception as e:
+            print(f"warning: sampling failed at milestone {milestone}: {e}")
+        try:
+            self.ckpt.save(milestone, jax.device_get(self.state),
+                           config=dataclasses.asdict(cfg))
+        except Exception as e:
+            print(f"warning: checkpoint save failed at {milestone}: {e}")
+
+    def _save_grid(self, images: np.ndarray, milestone: int, ncol: int = 4):
+        from PIL import Image
+
+        n = len(images)
+        ncol = min(ncol, n)
+        nrow = -(-n // ncol)
+        h, w, c = images.shape[1:]
+        grid = np.zeros((nrow * h, ncol * w, c), np.float32)
+        for i, img in enumerate(images):
+            r, col = divmod(i, ncol)
+            grid[r * h:(r + 1) * h, col * w:(col + 1) * w] = img
+        out = Path(self.config.results_folder)
+        out.mkdir(parents=True, exist_ok=True)
+        Image.fromarray((np.clip(grid, 0, 1) * 255).astype(np.uint8)).save(
+            out / f"sample-{milestone}.png")
+
+    def load(self, milestone: Optional[int] = None):
+        target = jax.device_get(self.state)
+        restored = self.ckpt.restore(milestone, target=target)
+        self.state = (replicate(restored, self.mesh)
+                      if self.mesh is not None else restored)
+        return int(jax.device_get(self.state.step))

@@ -1,0 +1,183 @@
+"""The jitted two-optimizer VQ-GAN training step.
+
+Behavior target: the reference's alternating G/D loop
+(/root/reference/vqgan_ldm_baseline/train_vqgan.py:240-296) — generator step
+on L1 + LPIPS + vq_loss (+ hinge-G after disc_start), discriminator step on
+detached reconstructions after disc_start, both with grad clipping.
+
+TPU-native design: ONE compiled step function updates both optimizer states.
+The disc_start gate is a traced predicate (`step >= disc_start`) feeding
+`lax.cond`-style masked updates, so the step count stays inside the program
+and the same executable serves the whole schedule — no recompilation at the
+phase switch. The discriminator pass runs on `stop_gradient(recon)` exactly
+like the reference's `.detach()`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..losses.gan import (
+    adaptive_disc_weight,
+    discriminator_loss,
+    generator_loss,
+)
+
+__all__ = ["VQGANTrainState", "make_vqgan_train_step", "make_gan_optimizers"]
+
+
+class VQGANTrainState(flax.struct.PyTreeNode):
+    step: jax.Array
+    vqvae_params: Any
+    disc_params: Any
+    disc_stats: Any  # BatchNorm running stats ({} when norm != "batch")
+    opt_g: optax.OptState
+    opt_d: optax.OptState
+
+
+def make_gan_optimizers(
+    learning_rate: float = 4.5e-5,
+    disc_learning_rate: float = 4.5e-5,
+    betas: Tuple[float, float] = (0.5, 0.9),
+    weight_decay: float = 0.0,
+    max_grad_norm: Optional[float] = 1.0,
+):
+    """Two Adam chains with clipping (reference train_vqgan.py:178-190,
+    vqgan_config.py:86-90)."""
+
+    def chain(lr):
+        parts = []
+        if max_grad_norm is not None:
+            parts.append(optax.clip_by_global_norm(max_grad_norm))
+        if weight_decay > 0:
+            parts.append(optax.adamw(lr, b1=betas[0], b2=betas[1],
+                                     weight_decay=weight_decay))
+        else:
+            parts.append(optax.adam(lr, b1=betas[0], b2=betas[1]))
+        return optax.chain(*parts)
+
+    return chain(learning_rate), chain(disc_learning_rate)
+
+
+def make_vqgan_train_step(
+    vqvae_apply: Callable,
+    disc_apply: Callable,
+    opt_g: optax.GradientTransformation,
+    opt_d: optax.GradientTransformation,
+    *,
+    disc_start: int = 10000,
+    disc_weight: float = 0.1,
+    perceptual_weight: float = 1.0,
+    disc_loss_type: str = "hinge",
+    perceptual_fn: Optional[Callable] = None,
+    use_adaptive_weight: bool = False,
+    last_layer_path: Tuple[str, ...] = ("params", "decoder", "conv_out",
+                                        "kernel"),
+    donate: bool = True,
+):
+    """Build the fused G+D train step.
+
+    vqvae_apply(params, images) -> (recon, loss_dict, indices)
+    disc_apply(params, stats, images, train) -> (logits, new_stats)
+    """
+
+    def _get_leaf(tree, path):
+        for p in path:
+            tree = tree[p]
+        return tree
+
+    def train_step(state: VQGANTrainState, images: jax.Array):
+        disc_active = state.step >= disc_start
+
+        # ---------------- generator phase ----------------
+        def g_loss_fn(vq_params):
+            recon, loss_dict, indices = vqvae_apply(vq_params, images)
+            logits_fake, _ = disc_apply(
+                state.disc_params, state.disc_stats, recon, train=False)
+
+            adaptive = None
+            if use_adaptive_weight:
+                # ‖∇_w nll‖ / ‖∇_w g‖ at the decoder output conv — two
+                # targeted backward passes (reference losses.py:63-94)
+                def nll_of(p):
+                    r, _, _ = vqvae_apply(p, images)
+                    l1 = jnp.mean(jnp.abs(images - r))
+                    p_l = (jnp.mean(perceptual_fn(r, images))
+                           if perceptual_fn is not None else 0.0)
+                    return l1 + perceptual_weight * p_l
+
+                def g_of(p):
+                    r, _, _ = vqvae_apply(p, images)
+                    lf, _ = disc_apply(
+                        state.disc_params, state.disc_stats, r, train=False)
+                    return -jnp.mean(lf)
+
+                nll_g = _get_leaf(jax.grad(nll_of)(vq_params), last_layer_path)
+                gan_g = _get_leaf(jax.grad(g_of)(vq_params), last_layer_path)
+                adaptive = adaptive_disc_weight(
+                    jnp.linalg.norm(nll_g), jnp.linalg.norm(gan_g))
+
+            gan_total, log = generator_loss(
+                images, recon, logits_fake,
+                disc_active=disc_active,
+                disc_weight=disc_weight,
+                perceptual_weight=perceptual_weight,
+                disc_loss_type=disc_loss_type,
+                perceptual_fn=perceptual_fn,
+                adaptive_weight=adaptive,
+            )
+            total = gan_total + loss_dict["vq_loss"]
+            log = {**log, **loss_dict, "loss_total": total}
+            return total, (recon, log)
+
+        (g_total, (recon, g_log)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(state.vqvae_params)
+        g_updates, new_opt_g = opt_g.update(
+            g_grads, state.opt_g, state.vqvae_params)
+        new_vq_params = optax.apply_updates(state.vqvae_params, g_updates)
+
+        # ---------------- discriminator phase ----------------
+        recon_sg = jax.lax.stop_gradient(recon)
+
+        def d_loss_fn(d_params):
+            logits_real, new_stats = disc_apply(
+                d_params, state.disc_stats, images, train=True)
+            logits_fake, new_stats = disc_apply(
+                d_params, new_stats, recon_sg, train=True)
+            d_loss, d_log = discriminator_loss(
+                logits_real, logits_fake,
+                disc_active=disc_active, disc_loss_type=disc_loss_type)
+            return d_loss, (d_log, new_stats)
+
+        (d_total, (d_log, new_stats)), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True)(state.disc_params)
+
+        # freeze D (params, opt state, BN stats) until disc_start — masked
+        # update keeps everything in one compiled program
+        d_updates, opt_d_candidate = opt_d.update(
+            d_grads, state.opt_d, state.disc_params)
+        select = lambda new, old: jax.tree.map(
+            lambda n, o: jnp.where(disc_active, n, o), new, old)
+        new_disc_params = select(
+            optax.apply_updates(state.disc_params, d_updates),
+            state.disc_params)
+        new_opt_d = select(opt_d_candidate, state.opt_d)
+        new_disc_stats = select(new_stats, state.disc_stats)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            vqvae_params=new_vq_params,
+            disc_params=new_disc_params,
+            disc_stats=new_disc_stats,
+            opt_g=new_opt_g,
+            opt_d=new_opt_d,
+        )
+        return new_state, {**g_log, **d_log}
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())

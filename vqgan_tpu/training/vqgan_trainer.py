@@ -1,0 +1,218 @@
+"""Stage-1 VQ-GAN trainer: orchestration around the fused two-optimizer step.
+
+Behavior target: /root/reference/vqgan_ldm_baseline/train_vqgan.py:101-409 —
+data from data_split.json, VQVAE + PatchGAN + LPIPS losses, 30k-step loop
+with codebook-usage monitoring, reconstruction grids + full checkpoints every
+1000 steps, resume from latest.
+
+TPU-native: the whole G+D update is ONE jitted step (training/vqgan_step.py);
+the host loop only feeds prefetched batches and logs. Device-parallel via the
+('data','model') mesh — batch sharded, state replicated.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..checkpoint import CheckpointManager
+from ..configs import VQGANConfig
+from ..data import BatchLoader, ImageFolderDataset, load_split
+from ..models import VQVAE
+from ..models.discriminator import PatchGANDiscriminator
+from ..models.lpips import LPIPS, perceptual_loss_fn
+from ..parallel import make_mesh, replicate, shard_batch
+from .vqgan_step import (
+    VQGANTrainState,
+    make_gan_optimizers,
+    make_vqgan_train_step,
+)
+from .watchdog import TrainingWatchdog
+
+__all__ = ["VQGANTrainer"]
+
+
+class VQGANTrainer:
+    def __init__(
+        self,
+        config: VQGANConfig,
+        split_path: Optional[str] = None,
+        lpips_params=None,
+        use_mesh: bool = True,
+    ):
+        self.config = config
+        cfg = config
+        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+        self.vqvae = VQVAE(
+            ch=cfg.ch, ch_mult=cfg.ch_mult, num_res_blocks=cfg.num_res_blocks,
+            attn_resolutions=cfg.attn_resolutions, dropout=cfg.dropout,
+            resolution=cfg.image_size, z_channels=cfg.z_channels,
+            num_embeddings=cfg.num_embeddings, embedding_dim=cfg.embedding_dim,
+            commitment_cost=cfg.commitment_cost,
+            out_channels=cfg.out_channels, dtype=dtype,
+        )
+        self.disc = PatchGANDiscriminator(
+            ndf=cfg.disc_ndf, n_layers=cfg.disc_n_layers, norm=cfg.disc_norm,
+            dtype=dtype,
+        )
+        self.lpips = LPIPS(dtype=dtype)
+
+        key = jax.random.PRNGKey(cfg.seed)
+        k_vq, k_d, k_l = jax.random.split(key, 3)
+        x0 = jnp.zeros((2, cfg.image_size, cfg.image_size, cfg.in_channels))
+        vq_params = self.vqvae.init(k_vq, x0)
+        disc_vars = self.disc.init(k_d, x0)
+        disc_params = {"params": disc_vars["params"]}
+        disc_stats = (
+            {"batch_stats": disc_vars["batch_stats"]}
+            if "batch_stats" in disc_vars else {}
+        )
+        if lpips_params is None:
+            lpips_params = self.lpips.init(k_l, x0, x0)
+        self.lpips_params = lpips_params
+
+        def vqvae_apply(params, images):
+            return self.vqvae.apply(params, images)
+
+        disc = self.disc
+
+        def disc_apply(params, stats, images, train):
+            if stats and train:
+                logits, upd = disc.apply({**params, **stats}, images,
+                                         train=True, mutable=["batch_stats"])
+                return logits, {"batch_stats": upd["batch_stats"]}
+            logits = disc.apply({**params, **stats}, images, train=False)
+            return logits, stats
+
+        self.opt_g, self.opt_d = make_gan_optimizers(
+            learning_rate=cfg.learning_rate,
+            disc_learning_rate=cfg.disc_learning_rate,
+            betas=cfg.adam_betas, weight_decay=cfg.weight_decay,
+            max_grad_norm=cfg.max_grad_norm or None,
+        )
+        self.train_step = make_vqgan_train_step(
+            vqvae_apply, disc_apply, self.opt_g, self.opt_d,
+            disc_start=cfg.disc_start, disc_weight=cfg.disc_weight,
+            perceptual_weight=cfg.perceptual_weight,
+            disc_loss_type=cfg.disc_loss_type,
+            perceptual_fn=perceptual_loss_fn(lpips_params, self.lpips),
+            use_adaptive_weight=cfg.use_adaptive_weight,
+        )
+
+        self.state = VQGANTrainState(
+            step=jnp.asarray(0), vqvae_params=vq_params,
+            disc_params=disc_params, disc_stats=disc_stats,
+            opt_g=self.opt_g.init(vq_params),
+            opt_d=self.opt_d.init(disc_params),
+        )
+
+        self.mesh = make_mesh() if use_mesh else None
+        if self.mesh is not None:
+            self.state = replicate(self.state, self.mesh)
+
+        # data
+        self.loader = None
+        if split_path is not None:
+            split = load_split(split_path)
+            dataset = ImageFolderDataset(
+                cfg.data_path, split, "train", image_size=cfg.image_size)
+            self.loader = BatchLoader(
+                dataset, cfg.batch_size, shuffle=True, seed=cfg.seed,
+                repeat=True)
+
+        self.ckpt = CheckpointManager(cfg.results_folder, prefix="vqgan")
+        self.watchdog = TrainingWatchdog()
+
+    # ------------------------------------------------------------------
+
+    def _put(self, batch):
+        if self.mesh is not None:
+            return shard_batch(batch, self.mesh)
+        return batch
+
+    def train(self, num_steps: Optional[int] = None, log_every: int = 50):
+        cfg = self.config
+        num_steps = num_steps or cfg.train_steps
+        assert self.loader is not None, "no dataset configured"
+        it = iter(self.loader)
+
+        t0 = time.time()
+        start = int(jax.device_get(self.state.step))
+        for step in range(start, num_steps):
+            images, _ = next(it)
+            self.state, log = self.train_step(
+                self.state, self._put(jnp.asarray(images)))
+
+            if (step + 1) % log_every == 0:
+                log_host = {k: float(v) for k, v in
+                            jax.device_get(log).items()}
+                ips = log_every * cfg.batch_size / (time.time() - t0)
+                t0 = time.time()
+                print(
+                    f"step {step + 1}/{num_steps} "
+                    f"g={log_host.get('total_loss', 0):.4f} "
+                    f"d={log_host.get('d_loss', 0):.4f} "
+                    f"vq={log_host.get('vq_loss', 0):.4f} "
+                    f"usage={log_host.get('codebook_usage_ratio', 0):.2f} "
+                    f"({ips:.1f} img/s)")
+                for w in self.watchdog.check(step + 1,
+                                             log_host.get("loss_total",
+                                                          float("nan"))):
+                    print(f"  [watchdog] {w}")
+
+            if (step + 1) % cfg.save_and_sample_every == 0:
+                self.save_and_sample((step + 1) // cfg.save_and_sample_every,
+                                     images)
+
+    # ------------------------------------------------------------------
+
+    def reconstruct(self, images: np.ndarray) -> np.ndarray:
+        recon, _, _ = self.vqvae.apply(
+            self._host_params(), jnp.asarray(images))
+        return np.asarray(recon)
+
+    def _host_params(self):
+        return jax.device_get(self.state.vqvae_params)
+
+    def save_and_sample(self, milestone: int, images=None):
+        cfg = self.config
+        try:
+            if images is not None:
+                n = min(cfg.num_samples, len(images))
+                recon = self.reconstruct(images[:n])
+                self._save_grid(images[:n], recon, milestone)
+        except Exception as e:  # never kill training on a failed sample
+            print(f"warning: sampling failed at milestone {milestone}: {e}")
+        try:
+            self.ckpt.save(
+                milestone, jax.device_get(self.state),
+                config=dataclasses.asdict(cfg))
+        except Exception as e:
+            print(f"warning: checkpoint save failed at {milestone}: {e}")
+
+    def _save_grid(self, images, recon, milestone):
+        from PIL import Image
+
+        rows = []
+        for img, rec in zip(np.asarray(images), np.asarray(recon)):
+            rows.append(np.concatenate([img, rec], axis=1))
+        grid = (np.clip(np.concatenate(rows, axis=0), 0, 1) * 255).astype(
+            np.uint8)
+        out = Path(cfg_dir := self.config.results_folder)
+        out.mkdir(parents=True, exist_ok=True)
+        Image.fromarray(grid).save(out / f"reconstruction-{milestone}.png")
+
+    def load(self, milestone: Optional[int] = None):
+        target = jax.device_get(self.state)
+        restored = self.ckpt.restore(milestone, target=target)
+        self.state = (
+            replicate(restored, self.mesh) if self.mesh is not None
+            else restored)
+        return int(jax.device_get(self.state.step))
