@@ -1,0 +1,55 @@
+#!/usr/bin/env python
+"""Stage-2 latent-diffusion training CLI.
+
+Behavior target: /root/reference/train_latent_cfg.py:805-826 — frozen VAE,
+cached latents, CFG U-Net training with resume; `--baseline` selects the
+all-optimizations-off ablation config (config_baseline.py).
+"""
+
+import argparse
+
+from _common import REPO, load_vae  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--vae_path", default=None)
+    ap.add_argument("--data_path", default=None)
+    ap.add_argument("--split", default=None)
+    ap.add_argument("--results_folder", default=None)
+    ap.add_argument("--latents_cache_folder", default=None)
+    ap.add_argument("--train_num_steps", type=int, default=None)
+    ap.add_argument("--train_batch_size", type=int, default=None)
+    ap.add_argument("--resume", type=int, default=None)
+    ap.add_argument("--baseline", action="store_true",
+                    help="ablation baseline config (all optimizations off)")
+    args = ap.parse_args()
+
+    from vqgan_tpu.configs import BaselineLDMConfig, LDMConfig
+
+    cls = BaselineLDMConfig if args.baseline else LDMConfig
+    overrides = {k: v for k, v in vars(args).items()
+                 if v is not None and k in cls.__dataclass_fields__}
+    config = cls(**overrides)
+    config.print_config_summary()
+    if args.baseline:
+        config.print_ablation_table()
+
+    vae_params = None
+    if args.vae_path:
+        _, vae_params = load_vae(
+            args.vae_path, config.latent_channels, config.image_size)
+
+    from vqgan_tpu.training.ldm_trainer import LatentDiffusionTrainer
+
+    trainer = LatentDiffusionTrainer(
+        config, split_path=args.split, vae_params=vae_params)
+    if args.resume is not None:
+        milestone = None if args.resume < 0 else args.resume
+        step = trainer.load(milestone)
+        print(f"resumed from step {step}")
+    trainer.train(num_steps=args.train_num_steps)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""Stage-1 VQ-GAN training CLI.
+
+Behavior target: /root/reference/vqgan_ldm_baseline/train_vqgan.py:415-436 —
+config-driven training with resume, periodic reconstruction grids and
+checkpoints.
+"""
+
+import argparse
+
+from _common import REPO  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data_path", default=None)
+    ap.add_argument("--split", default=None,
+                    help="data_split.json (created with create_data_split.py)")
+    ap.add_argument("--results_folder", default=None)
+    ap.add_argument("--train_steps", type=int, default=None)
+    ap.add_argument("--batch_size", type=int, default=None)
+    ap.add_argument("--image_size", type=int, default=None)
+    ap.add_argument("--num_embeddings", type=int, default=None)
+    ap.add_argument("--disc_start", type=int, default=None)
+    ap.add_argument("--resume", type=int, default=None,
+                    help="milestone to resume from (-1 = latest)")
+    ap.add_argument("--lpips_weights", default=None,
+                    help=".npz with exported VGG16+lpips weights")
+    args = ap.parse_args()
+
+    from vqgan_tpu.configs import VQGANConfig
+
+    overrides = {k: v for k, v in vars(args).items()
+                 if v is not None and k in VQGANConfig.__dataclass_fields__}
+    config = VQGANConfig(**overrides)
+    config.print_config_summary()
+
+    lpips_params = None
+    if args.lpips_weights:
+        import numpy as np
+
+        from vqgan_tpu.models.lpips import load_torch_lpips_weights
+
+        data = dict(np.load(args.lpips_weights))
+        vgg = {k[4:]: v for k, v in data.items() if k.startswith("vgg.")}
+        lin = {k[4:]: v for k, v in data.items() if k.startswith("lin.")}
+        lpips_params = load_torch_lpips_weights(vgg, lin)
+
+    from vqgan_tpu.training.vqgan_trainer import VQGANTrainer
+
+    trainer = VQGANTrainer(config, split_path=args.split,
+                           lpips_params=lpips_params)
+    if args.resume is not None:
+        milestone = None if args.resume < 0 else args.resume
+        step = trainer.load(milestone)
+        print(f"resumed from step {step}")
+    trainer.train(num_steps=args.train_steps)
+
+
+if __name__ == "__main__":
+    main()

@@ -39,6 +39,34 @@ def _identity(x):
     return x
 
 
+def _immiscible_assignment(x_start: jax.Array, noise: jax.Array) -> jax.Array:
+    """Immiscible diffusion (arXiv 2406.12303): permute the noise batch so
+    each sample gets its nearest noise draw, via an exact Hungarian
+    assignment on the host (reference ddpm.py:769-781 uses scipy's
+    linear_sum_assignment; batch sizes are tiny so a pure_callback beats a
+    device-side approximation)."""
+    b = x_start.shape[0]
+    xf = x_start.reshape(b, -1).astype(jnp.float32)
+    nf = noise.reshape(b, -1).astype(jnp.float32)
+    # pairwise squared distances via the MXU
+    dist = (
+        jnp.sum(xf**2, 1, keepdims=True)
+        - 2.0 * jnp.dot(xf, nf.T, preferred_element_type=jnp.float32)
+        + jnp.sum(nf**2, 1)[None, :]
+    )
+
+    def host_assign(d):
+        from scipy.optimize import linear_sum_assignment
+
+        _, cols = linear_sum_assignment(d)
+        return cols.astype(np.int32)
+
+    align = jax.pure_callback(
+        host_assign, jax.ShapeDtypeStruct((b,), jnp.int32), dist,
+        vmap_method="sequential")
+    return noise[align]
+
+
 @dataclasses.dataclass
 class GaussianDiffusion:
     """Functional diffusion wrapper around a model-apply callable.
@@ -65,6 +93,7 @@ class GaussianDiffusion:
     min_snr_gamma: float = 5.0
     use_cfg_plus_plus: bool = False
     auto_normalize: bool = True
+    immiscible: bool = False
     schedule: DiffusionSchedule = None
 
     def __post_init__(self):
@@ -184,12 +213,16 @@ class GaussianDiffusion:
         k_noise, k_offset, k_drop = jax.random.split(key, 3)
         if noise is None:
             noise = jax.random.normal(k_noise, x_start.shape, jnp.float32)
+        if self.immiscible:
+            noise = _immiscible_assignment(x_start, noise)
         if self.offset_noise_strength > 0.0:
             # per-(sample, channel) constant offset (reference ddpm.py:793-799)
             offset = jax.random.normal(
                 k_offset, (x_start.shape[0], x_start.shape[-1]), jnp.float32
             )
-            noise = noise + self.offset_noise_strength * offset[:, None, None, :]
+            offset = offset.reshape(
+                offset.shape[0], *((1,) * (x_start.ndim - 2)), -1)
+            noise = noise + self.offset_noise_strength * offset
 
         x = dm.q_sample(self.schedule, x_start, t, noise)
 

@@ -114,7 +114,8 @@ def _vq_kernel(z_ref, e_ref, zq_ref, idx_ref, usage_ref, *, block_k, k_actual,
     )
     zq_ref[:] = zq.astype(zq_ref.dtype)
 
-    # fused usage histogram, accumulated across sequential grid programs
+    # fused usage histogram, accumulated across sequential grid programs,
+    # tiled over the codebook axis to keep the one-hot in a [BN, BK] tile
     pid = pl.program_id(0)
 
     @pl.when(pid == 0)
@@ -123,11 +124,39 @@ def _vq_kernel(z_ref, e_ref, zq_ref, idx_ref, usage_ref, *, block_k, k_actual,
 
     row = jax.lax.broadcasted_iota(jnp.int32, (bn, 1), 0) + pid * block_n
     valid = row < n_actual  # [BN, 1]
-    kcol = jax.lax.broadcasted_iota(jnp.int32, (bn, k_padded), 1)
-    onehot_full = jnp.logical_and(kcol == idx[:, None], valid)
-    usage_ref[:] += jnp.sum(
-        onehot_full.astype(jnp.int32), axis=0, keepdims=True
-    )  # [1, K]
+
+    def usage_body(i, _):
+        kcol = jax.lax.broadcasted_iota(jnp.int32, (bn, block_k), 1) \
+            + i * block_k
+        onehot = jnp.logical_and(kcol == idx[:, None], valid)
+        usage_ref[0, pl.ds(i * block_k, block_k)] += jnp.sum(
+            onehot.astype(jnp.int32), axis=0)
+        return 0
+
+    jax.lax.fori_loop(0, num_kb, usage_body, 0)
+
+
+_VMEM_BUDGET_BYTES = 13 * 1024 * 1024  # leave headroom under the 16M scoped cap
+
+
+def _pick_blocks(n: int, k_pad: int, d: int, block_n: int, block_k: int):
+    """Shrink (block_n, block_k) until the kernel's VMEM residency fits:
+    full codebook + z/z_q blocks + distance/one-hot tiles + usage row."""
+    codebook_bytes = k_pad * d * 4
+    while True:
+        per_program = (
+            2 * block_n * d * 4          # z block + z_q accumulator
+            + 3 * block_n * block_k * 4  # distance / one-hot / usage tiles
+            + k_pad * 4                  # usage output row
+        )
+        if codebook_bytes + per_program <= _VMEM_BUDGET_BYTES:
+            return block_n, block_k
+        if block_n > 128:
+            block_n //= 2
+        elif block_k > 128:
+            block_k //= 2
+        else:
+            return block_n, block_k  # minimal tiles; let the compiler try
 
 
 def _vq_forward_pallas(
@@ -142,6 +171,8 @@ def _vq_forward_pallas(
 
     block_k = min(block_k, _round_up(k, 128))
     block_n = min(block_n, _round_up(n, 8))
+    block_n, block_k = _pick_blocks(
+        n, _round_up(k, block_k), d, block_n, block_k)
     n_pad = _round_up(n, block_n)
     k_pad = _round_up(k, block_k)
 
