@@ -51,6 +51,20 @@ def make_mesh(
     return Mesh(arr, ("data", "model"))
 
 
+def make_mesh_for_batch(batch_size: int, model: int = 1,
+                        devices=None) -> Mesh:
+    """Mesh whose 'data' axis is the largest device count that divides the
+    global batch (a 4-sample batch can't shard over 8 devices)."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices) // model
+    data = 1
+    for d in range(n, 0, -1):
+        if batch_size % d == 0:
+            data = d
+            break
+    return make_mesh(data=data, model=model, devices=devices[: data * model])
+
+
 def data_sharding(mesh: Mesh, ndim: int = None) -> NamedSharding:
     """Shard leading (batch) dim over 'data', replicate the rest."""
     return NamedSharding(mesh, P("data"))

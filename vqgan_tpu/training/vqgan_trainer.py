@@ -27,7 +27,7 @@ from ..data import BatchLoader, ImageFolderDataset, load_split
 from ..models import VQVAE
 from ..models.discriminator import PatchGANDiscriminator
 from ..models.lpips import LPIPS, perceptual_loss_fn
-from ..parallel import make_mesh, replicate, shard_batch
+from ..parallel import make_mesh_for_batch, replicate, shard_batch
 from .vqgan_step import (
     VQGANTrainState,
     make_gan_optimizers,
@@ -113,7 +113,8 @@ class VQGANTrainer:
             opt_d=self.opt_d.init(disc_params),
         )
 
-        self.mesh = make_mesh() if use_mesh else None
+        self.mesh = (make_mesh_for_batch(cfg.batch_size)
+                     if use_mesh else None)
         if self.mesh is not None:
             self.state = replicate(self.state, self.mesh)
 
