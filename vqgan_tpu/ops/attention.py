@@ -154,26 +154,166 @@ def _flash_fwd_rule(q, k, v, scale, block_q, block_kv, interpret):
     return out, (q, k, v, out, lse)
 
 
+def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                         dq_ref, *, scale, kv_len, block_kv):
+    """Per (batch·head, q-block): dq = scale · Σ_j [P∘(dP−δ)]·K_j, streaming
+    KV tiles with P recomputed from the saved lse (never materialized)."""
+    q = q_ref[0].astype(jnp.float32) * scale
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0]  # [BQ, 1]
+    delta = delta_ref[0]  # [BQ, 1]
+    bq = q.shape[0]
+    num_kv = k_ref.shape[1] // block_kv
+
+    def body(j, acc):
+        k = k_ref[0, pl.ds(j * block_kv, block_kv), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(j * block_kv, block_kv), :].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        kv_ids = jax.lax.broadcasted_iota(jnp.int32, (bq, block_kv), 1)
+        s = jnp.where(kv_ids + j * block_kv < kv_len, s, _NEG_INF)
+        p = jnp.exp(s - lse)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        return acc + jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    acc = jax.lax.fori_loop(
+        0, num_kv, body, jnp.zeros((bq, q_ref.shape[-1]), jnp.float32))
+    dq_ref[0] = (acc * scale).astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                          dk_ref, dv_ref, *, scale, q_len, block_q):
+    """Per (batch·head, kv-block): dv = Σ_i Pᵀ·dO_i, dk = scale·Σ_i
+    [P∘(dP−δ)]ᵀ·q_i, streaming Q tiles."""
+    k = k_ref[0].astype(jnp.float32)  # [BKV, D]
+    v = v_ref[0].astype(jnp.float32)
+    bkv = k.shape[0]
+    num_q = q_ref.shape[1] // block_q
+
+    def body(i, carry):
+        dk_acc, dv_acc = carry
+        q = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        do = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, pl.ds(i * block_q, block_q), :]
+        delta = delta_ref[0, pl.ds(i * block_q, block_q), :]
+        qs = q * scale
+        s = jax.lax.dot_general(qs, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        # mask padded q rows: lse is 0 there; exp(-inf) handles kv padding in
+        # fwd but q padding needs explicit zeroing of p rows
+        q_ids = jax.lax.broadcasted_iota(jnp.int32, (block_q, bkv), 0)
+        valid = (q_ids + i * block_q) < q_len
+        p = jnp.where(valid, jnp.exp(s - lse), 0.0)
+        dv_acc = dv_acc + jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        dk_acc = dk_acc + jax.lax.dot_general(
+            ds, qs, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return dk_acc, dv_acc
+
+    zeros = jnp.zeros((bkv, k_ref.shape[-1]), jnp.float32)
+    dk_acc, dv_acc = jax.lax.fori_loop(0, num_q, body, (zeros, zeros))
+    dk_ref[0] = dk_acc.astype(dk_ref.dtype)
+    dv_ref[0] = dv_acc.astype(dv_ref.dtype)
+
+
+def _flash_backward(q, k, v, out, lse, g, scale, block_q, block_kv,
+                    interpret):
+    """Pallas backward over [BH, S, D] operands."""
+    bh, s_q, d = q.shape
+    s_kv = k.shape[1]
+
+    block_q = min(block_q, _round_up(s_q, 8))
+    block_kv = min(block_kv, _round_up(s_kv, 128))
+    q_pad = _round_up(s_q, max(block_q, 128))
+    kv_pad = _round_up(s_kv, block_kv)
+    block_q = min(block_q, q_pad)
+
+    pad_q = lambda t: jnp.pad(t, ((0, 0), (0, q_pad - s_q), (0, 0))) \
+        if q_pad != s_q else t
+    pad_kv = lambda t: jnp.pad(t, ((0, 0), (0, kv_pad - s_kv), (0, 0))) \
+        if kv_pad != s_kv else t
+
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32),
+                    axis=-1, keepdims=True)  # [BH, S, 1]
+    qp, dop = pad_q(q), pad_q(g)
+    lsep = pad_q(lse[:, :, None])
+    deltap = pad_q(delta)
+    kp, vp = pad_kv(k), pad_kv(v)
+
+    vmem = pltpu.VMEM
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, scale=scale, kv_len=s_kv,
+                          block_kv=block_kv),
+        grid=(bh, q_pad // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                         memory_space=vmem),
+            pl.BlockSpec((1, kv_pad, d), lambda b, i: (b, 0, 0),
+                         memory_space=vmem),
+            pl.BlockSpec((1, kv_pad, d), lambda b, i: (b, 0, 0),
+                         memory_space=vmem),
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                         memory_space=vmem),
+            pl.BlockSpec((1, block_q, 1), lambda b, i: (b, i, 0),
+                         memory_space=vmem),
+            pl.BlockSpec((1, block_q, 1), lambda b, i: (b, i, 0),
+                         memory_space=vmem),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                               memory_space=vmem),
+        out_shape=jax.ShapeDtypeStruct((bh, q_pad, d), q.dtype),
+        interpret=interpret,
+    )(qp, kp, vp, dop, lsep, deltap)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, scale=scale, q_len=s_q,
+                          block_q=min(block_q, q_pad)),
+        grid=(bh, kv_pad // block_kv),
+        in_specs=[
+            pl.BlockSpec((1, q_pad, d), lambda b, j: (b, 0, 0),
+                         memory_space=vmem),
+            pl.BlockSpec((1, block_kv, d), lambda b, j: (b, j, 0),
+                         memory_space=vmem),
+            pl.BlockSpec((1, block_kv, d), lambda b, j: (b, j, 0),
+                         memory_space=vmem),
+            pl.BlockSpec((1, q_pad, d), lambda b, j: (b, 0, 0),
+                         memory_space=vmem),
+            pl.BlockSpec((1, q_pad, 1), lambda b, j: (b, 0, 0),
+                         memory_space=vmem),
+            pl.BlockSpec((1, q_pad, 1), lambda b, j: (b, 0, 0),
+                         memory_space=vmem),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_kv, d), lambda b, j: (b, j, 0),
+                         memory_space=vmem),
+            pl.BlockSpec((1, block_kv, d), lambda b, j: (b, j, 0),
+                         memory_space=vmem),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, kv_pad, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, kv_pad, d), v.dtype),
+        ],
+        interpret=interpret,
+    )(qp, kp, vp, dop, lsep, deltap)
+
+    return dq[:, :s_q], dk[:, :s_kv], dv[:, :s_kv]
+
+
 def _flash_bwd_rule(scale, block_q, block_kv, interpret, res, g):
-    """Flash-style backward: recompute P from (q, k, lse); never store the
-    softmax matrix as a residual. XLA fuses the recompute chain."""
+    """Flash backward as two Pallas kernels (dq; dk+dv), recomputing P from
+    the saved lse — the S×S score matrix never touches HBM."""
     q, k, v, out, lse = res
-    q32, k32, v32, g32 = (t.astype(jnp.float32) for t in (q, k, v, g))
-    s = jnp.einsum("bqd,bkd->bqk", q32, k32,
-                   preferred_element_type=jnp.float32) * scale
-    p = jnp.exp(s - lse[:, :, None])
-    dv = jnp.einsum("bqk,bqd->bkd", p, g32,
-                    preferred_element_type=jnp.float32)
-    dp = jnp.einsum("bqd,bkd->bqk", g32, v32,
-                    preferred_element_type=jnp.float32)
-    # delta = rowsum(dO * O)
-    delta = jnp.sum(g32 * out.astype(jnp.float32), axis=-1, keepdims=True)
-    ds = p * (dp - delta) * scale
-    dq = jnp.einsum("bqk,bkd->bqd", ds, k32,
-                    preferred_element_type=jnp.float32)
-    dk = jnp.einsum("bqk,bqd->bkd", ds, q32,
-                    preferred_element_type=jnp.float32)
-    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+    return _flash_backward(q, k, v, out, lse, g, scale, block_q, block_kv,
+                           interpret)
 
 
 _flash_attention_bhsd.defvjp(_flash_fwd_rule, _flash_bwd_rule)

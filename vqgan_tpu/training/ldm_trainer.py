@@ -163,7 +163,15 @@ class LatentDiffusionTrainer:
         cfg = self.config
         num_steps = num_steps or cfg.train_num_steps
         assert self.loader is not None, "no dataset configured"
-        it = iter(self.loader)
+        ds = self.loader.dataset
+        if hasattr(ds, "fully_cached") and ds.fully_cached():
+            # C++ fan-out reader over the populated latent cache
+            it = ds.native_batch_loader(
+                cfg.train_batch_size, shuffle=True, seed=cfg.seed,
+                repeat=True)
+            print("using native latent batch loader")
+        else:
+            it = iter(self.loader)
 
         t0 = time.time()
         start = int(jax.device_get(self.state.step))
