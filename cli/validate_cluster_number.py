@@ -125,6 +125,12 @@ def main():
         print(f"ID_{uid}: majority k={majority} "
               f"(votes: {recommendations})")
 
+        from vqgan_tpu.eval.plots import plot_cluster_validation
+
+        plot_cluster_validation(
+            f"ID_{uid}", ks, metrics, sizes, recommendations,
+            out / f"ID_{uid}_validation.png")
+
     overall = int(np.bincount(votes).argmax()) if votes else None
     report["summary"] = {
         "overall_majority_k": overall,

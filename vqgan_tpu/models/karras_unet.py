@@ -400,6 +400,87 @@ class KarrasUnet(nn.Module):
         return Gain(name="output_gain")(out)
 
 
+class MPFeedForward(nn.Module):
+    """Magnitude-preserving transformer feedforward (the reference's bonus
+    MP transformer, karras_unet.py:635-660): pixel-norm → 1x1 MP convs with
+    MPSiLU → MPAdd residual."""
+
+    mult: int = 4
+    mp_add_t: float = 0.3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        res = x
+        h = pixel_norm(x, axis=-1)
+        h = MPLinear(dim * self.mult, dtype=self.dtype, name="proj_in")(h)
+        h = mp_silu(h)
+        h = MPLinear(dim, dtype=self.dtype, name="proj_out")(h)
+        return mp_add(h, res, self.mp_add_t)
+
+
+class MPAttentionTokens(nn.Module):
+    """Karras cosine attention over token sequences [B, N, D]
+    (karras_unet.py:662-687 adapted from the image Attention)."""
+
+    heads: int = 4
+    dim_head: int = 64
+    num_mem_kv: int = 4
+    mp_add_t: float = 0.3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.attention import sdpa
+
+        b, n, c = x.shape
+        hidden = self.heads * self.dim_head
+        res = x
+        h = pixel_norm(x, axis=-1)
+        qkv = MPLinear(hidden * 3, dtype=self.dtype, name="to_qkv")(h)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        reshape = lambda t: t.reshape(b, n, self.heads, self.dim_head)
+        q, k, v = reshape(q), reshape(k), reshape(v)
+
+        mem_kv = self.param(
+            "mem_kv", nn.initializers.normal(1.0),
+            (2, self.heads, self.num_mem_kv, self.dim_head), jnp.float32)
+        mk = jnp.broadcast_to(
+            mem_kv[0].transpose(1, 0, 2)[None],
+            (b, self.num_mem_kv, self.heads, self.dim_head)).astype(k.dtype)
+        mv = jnp.broadcast_to(
+            mem_kv[1].transpose(1, 0, 2)[None],
+            (b, self.num_mem_kv, self.heads, self.dim_head)).astype(v.dtype)
+        k = jnp.concatenate([mk, k], axis=1)
+        v = jnp.concatenate([mv, v], axis=1)
+        q, k, v = (pixel_norm(t, axis=-1) for t in (q, k, v))
+        out = sdpa(q, k, v).reshape(b, n, hidden)
+        out = MPLinear(c, dtype=self.dtype, name="to_out")(out)
+        return mp_add(out, res, self.mp_add_t)
+
+
+class MPTransformer(nn.Module):
+    """Stack of MP attention + MP feedforward blocks."""
+
+    depth: int
+    heads: int = 4
+    dim_head: int = 64
+    ff_mult: int = 4
+    mp_add_t: float = 0.3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.depth):
+            x = MPAttentionTokens(self.heads, self.dim_head,
+                                  mp_add_t=self.mp_add_t, dtype=self.dtype,
+                                  name=f"attn_{i}")(x)
+            x = MPFeedForward(self.ff_mult, self.mp_add_t, dtype=self.dtype,
+                              name=f"ff_{i}")(x)
+        return x
+
+
 def inv_sqrt_decay_schedule(base_lr: float, t_ref: int = 70000,
                             sigma_ref: float = 0.01):
     """EDM2 eq. 67 LR decay as an optax schedule
