@@ -167,3 +167,28 @@ def test_cfg_unet_end_to_end_diffusion_loss(tiny_cfg_unet):
                     cond_scale=3.0, rescaled_phi=0.7)
     assert out.shape == (2, 8, 8, 4)
     assert bool(jnp.isfinite(out).all())
+
+
+def test_return_all_timesteps():
+    target = jax.random.uniform(jax.random.PRNGKey(8), (2, 8, 8, 3)) * 2 - 1
+
+    def model_apply(params, x, t, classes=None, **kwargs):
+        return jnp.broadcast_to(target, x.shape)
+
+    gd = GaussianDiffusion(
+        model_apply, image_size=8, channels=3, timesteps=50,
+        sampling_timesteps=5, objective="pred_x0", auto_normalize=False)
+    all_imgs = gd.ddim_sample(
+        {}, jax.random.PRNGKey(9), (2, 8, 8, 3), cond_scale=1.0,
+        return_all_timesteps=True)
+    assert all_imgs.shape == (2, 6, 8, 8, 3)  # init + 5 steps
+    np.testing.assert_allclose(
+        np.asarray(all_imgs[:, -1]), np.asarray(target), atol=1e-4)
+
+    gd2 = GaussianDiffusion(
+        model_apply, image_size=8, channels=3, timesteps=10,
+        objective="pred_x0", auto_normalize=False)
+    all2 = gd2.p_sample_loop(
+        {}, jax.random.PRNGKey(10), (1, 8, 8, 3), cond_scale=1.0,
+        return_all_timesteps=True)
+    assert all2.shape == (1, 11, 8, 8, 3)

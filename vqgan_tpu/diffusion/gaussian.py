@@ -288,8 +288,11 @@ class GaussianDiffusion:
         cond_scale: float = 6.0,
         rescaled_phi: float = 0.7,
         clip_denoised: bool = True,
+        return_all_timesteps: bool = False,
     ):
-        """DDIM sampler as one lax.scan (reference cfg.py:807-840)."""
+        """DDIM sampler as one lax.scan (reference cfg.py:807-840).
+        return_all_timesteps stacks every intermediate along axis 1
+        (reference ddpm.py return_all_timesteps)."""
         pairs = self._ddim_time_pairs()
         k_init, k_loop = jax.random.split(key)
         img0 = jax.random.normal(k_init, shape, jnp.float32)
@@ -309,9 +312,13 @@ class GaussianDiffusion:
                 self.schedule, img, x_start, pred_noise, time, time_next,
                 noise, self.ddim_sampling_eta,
             )
-            return (img, k), None
+            return (img, k), (img if return_all_timesteps else None)
 
-        (img, _), _ = jax.lax.scan(body, (img0, k_loop), pairs)
+        (img, _), steps = jax.lax.scan(body, (img0, k_loop), pairs)
+        if return_all_timesteps:
+            all_imgs = jnp.concatenate(
+                [img0[:, None], jnp.swapaxes(steps, 0, 1)], axis=1)
+            return self.unnormalize(all_imgs)
         return self.unnormalize(img)
 
     def p_sample_loop(
@@ -324,6 +331,7 @@ class GaussianDiffusion:
         cond_scale: float = 6.0,
         rescaled_phi: float = 0.7,
         clip_denoised: bool = True,
+        return_all_timesteps: bool = False,
     ):
         """Ancestral DDPM sampler as one lax.scan (reference cfg.py:784-805)."""
         k_init, k_loop = jax.random.split(key)
@@ -344,9 +352,13 @@ class GaussianDiffusion:
             noise = jax.random.normal(kn, shape, jnp.float32)
             noise = jnp.where(t > 0, noise, 0.0)  # no noise at t == 0
             img = mean + jnp.exp(0.5 * log_var) * noise
-            return (img, k), None
+            return (img, k), (img if return_all_timesteps else None)
 
-        (img, _), _ = jax.lax.scan(body, (img0, k_loop), ts)
+        (img, _), steps = jax.lax.scan(body, (img0, k_loop), ts)
+        if return_all_timesteps:
+            all_imgs = jnp.concatenate(
+                [img0[:, None], jnp.swapaxes(steps, 0, 1)], axis=1)
+            return self.unnormalize(all_imgs)
         return self.unnormalize(img)
 
     def sample(

@@ -39,6 +39,17 @@ _SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
 _SCALE = np.array([0.458, 0.448, 0.450], np.float32)
 
 
+def _max_pool_2x2(x):
+    """2x2 stride-2 max pool as reshape + elementwise max.
+
+    Equivalent to nn.max_pool((2,2),(2,2)) but its BACKWARD lowers to cheap
+    compare/selects instead of SelectAndScatter — which this TPU toolchain
+    compiles ~7x slower (643s vs 88s for the whole VGG backward, measured)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    return jnp.max(jnp.max(x, axis=2), axis=3)
+
+
 class VGG16Features(nn.Module):
     """VGG16 trunk returning the five LPIPS tap activations. NHWC."""
 
@@ -50,7 +61,7 @@ class VGG16Features(nn.Module):
         conv_idx = 0
         for spec in _VGG16_CFG:
             if spec == "M":
-                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+                x = _max_pool_2x2(x)
                 continue
             x = nn.Conv(spec, (3, 3), padding=1, dtype=self.dtype,
                         param_dtype=jnp.float32,

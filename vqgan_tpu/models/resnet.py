@@ -18,6 +18,23 @@ Dtype = Any
 __all__ = ["ResNet18", "ResNet"]
 
 
+def _max_pool_3x3_s2_p1(x):
+    """3x3 stride-2 pad-1 max pool as 9 shifted strided slices + elementwise
+    max — backward lowers to compare/selects instead of SelectAndScatter
+    (pathologically slow to compile on this TPU toolchain)."""
+    b, h, w, c = x.shape
+    neg = jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating) \
+        else jnp.iinfo(x.dtype).min
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=neg)
+    oh, ow = (h + 1) // 2, (w + 1) // 2
+    out = None
+    for di in range(3):
+        for dj in range(3):
+            s = xp[:, di : di + 2 * oh - 1 : 2, dj : dj + 2 * ow - 1 : 2, :]
+            out = s if out is None else jnp.maximum(out, s)
+    return out
+
+
 class BasicBlock(nn.Module):
     filters: int
     strides: Tuple[int, int] = (1, 1)
@@ -63,7 +80,7 @@ class ResNet(nn.Module):
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          dtype=jnp.float32, name="bn1")(x)
         x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        x = _max_pool_3x3_s2_p1(x)
 
         for i, n_blocks in enumerate(self.stage_sizes):
             for j in range(n_blocks):

@@ -84,6 +84,7 @@ class LatentDiffusionTrainer:
         config: LDMConfig,
         split_path: Optional[str] = None,
         vae_params=None,
+        vae_model: Optional[KLVAE] = None,
         use_mesh: bool = True,
     ):
         self.config = cfg = config
@@ -130,7 +131,7 @@ class LatentDiffusionTrainer:
         self.vae = None
         self.vae_params = vae_params
         if vae_params is not None:
-            self.vae = KLVAE(config=AutoencoderConfig(
+            self.vae = vae_model or KLVAE(config=AutoencoderConfig(
                 resolution=cfg.image_size, z_channels=cfg.latent_channels))
 
         # data
@@ -153,6 +154,10 @@ class LatentDiffusionTrainer:
         self.ckpt = CheckpointManager(cfg.results_folder, prefix="model")
         self.watchdog = TrainingWatchdog()
         self._rng = jax.random.PRNGKey(cfg.seed + 1)
+
+        from ..utils.metrics_log import MetricsLogger
+
+        self.metrics = MetricsLogger(cfg.results_folder, run_name="ldm")
 
     # ------------------------------------------------------------------
 
@@ -185,6 +190,7 @@ class LatentDiffusionTrainer:
                 host = {k: float(v) for k, v in jax.device_get(log).items()}
                 ips = log_every * cfg.train_batch_size / (time.time() - t0)
                 t0 = time.time()
+                self.metrics.log(step + 1, host)
                 msg = (f"step {step + 1}/{num_steps} "
                        f"loss={host['loss']:.4f}")
                 if "contrastive_loss" in host:

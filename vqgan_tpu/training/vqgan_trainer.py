@@ -131,6 +131,10 @@ class VQGANTrainer:
         self.ckpt = CheckpointManager(cfg.results_folder, prefix="vqgan")
         self.watchdog = TrainingWatchdog()
 
+        from ..utils.metrics_log import MetricsLogger
+
+        self.metrics = MetricsLogger(cfg.results_folder, run_name="vqgan")
+
     # ------------------------------------------------------------------
 
     def _put(self, batch):
@@ -156,6 +160,7 @@ class VQGANTrainer:
                             jax.device_get(log).items()}
                 ips = log_every * cfg.batch_size / (time.time() - t0)
                 t0 = time.time()
+                self.metrics.log(step + 1, {**log_host, "images_per_sec": ips})
                 print(
                     f"step {step + 1}/{num_steps} "
                     f"g={log_host.get('total_loss', 0):.4f} "

@@ -1,1 +1,2 @@
 from .profiling import StepTimer, annotate, trace
+from .metrics_log import MetricsLogger
