@@ -72,6 +72,23 @@ def frechet_distance(mu1, cov1, mu2, cov2, eps: float = 1e-6) -> float:
         - 2 * np.trace(covmean))
 
 
+def make_inception_feature_fn(variables=None, dtype=None, seed: int = 0):
+    """Jitted pool-2048 InceptionV3 feature extractor. Pass imported
+    torchvision weights (models.inception.load_torch_inception_weights) for
+    calibrated FID; None uses random init (pipeline-valid only)."""
+    import jax.numpy as jnp
+
+    from ..models.inception import InceptionV3Features
+
+    model = InceptionV3Features(dtype=dtype or jnp.float32)
+    if variables is None:
+        model_vars = model.init(
+            jax.random.PRNGKey(seed), jnp.zeros((1, 64, 64, 3)))
+    else:
+        model_vars = variables
+    return jax.jit(lambda x: model.apply(model_vars, x))
+
+
 class FIDEvaluation:
     """feature_fn(images [B,H,W,3] in [0,1]) -> [B, D] (jitted Inception by
     default); sampler_fn(key, batch_size) -> images in [0,1]."""

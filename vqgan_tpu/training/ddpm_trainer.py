@@ -22,7 +22,7 @@ import numpy as np
 from ..checkpoint import CheckpointManager
 from ..data.datasets import BatchLoader
 from ..data.splits import IMAGE_EXTENSIONS
-from ..parallel import make_mesh, replicate, shard_batch
+from ..parallel import make_mesh_for_batch, replicate, shard_batch
 from .ldm_step import LDMTrainState, make_ldm_optimizer
 from .ema import ema_update
 
@@ -123,7 +123,8 @@ class Trainer:
             step=jnp.asarray(0), params=params,
             opt_state=self.tx.init(params),
             ema_params=jax.tree.map(jnp.copy, params))
-        self.mesh = make_mesh() if use_mesh else None
+        self.mesh = (make_mesh_for_batch(train_batch_size)
+                     if use_mesh else None)
         if self.mesh is not None:
             self.state = replicate(self.state, self.mesh)
 
