@@ -74,9 +74,11 @@ def build_step(dtype_str: str = "bfloat16"):
         return disc.apply({**params, **stats}, images, train=False), stats
 
     opt_g, opt_d = make_gan_optimizers()
+    fast = os.environ.get("BENCH_FAST_COMPILE", "1") == "1"
     step_fn = make_vqgan_train_step(
         vqvae_apply, disc_apply, opt_g, opt_d, disc_start=2,
-        perceptual_fn=perceptual_loss_fn(lpips_params, lpips), donate=True)
+        perceptual_fn=perceptual_loss_fn(lpips_params, lpips), donate=True,
+        fast_compile=fast)
     state = VQGANTrainState(
         step=jnp.asarray(0), vqvae_params=vq_params,
         disc_params=disc_params, disc_stats=disc_stats,

@@ -80,6 +80,7 @@ def make_vqgan_train_step(
     last_layer_path: Tuple[str, ...] = ("params", "decoder", "conv_out",
                                         "kernel"),
     donate: bool = True,
+    fast_compile: bool = False,
 ):
     """Build the fused G+D train step.
 
@@ -180,4 +181,11 @@ def make_vqgan_train_step(
         )
         return new_state, {**g_log, **d_log}
 
-    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+    # fast_compile: this environment's TPU compiler spends 10x+ longer in
+    # exec-time optimization search on big conv backward graphs (measured
+    # 742s → 68s on the LPIPS grad alone); dialing the effort down trades a
+    # few % step time for minute-scale compiles.
+    options = (
+        {"exec_time_optimization_effort": -1.0} if fast_compile else None)
+    return jax.jit(train_step, donate_argnums=(0,) if donate else (),
+                   compiler_options=options)
