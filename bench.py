@@ -37,14 +37,21 @@ CACHE = REPO / ".bench_cache.json"
 
 
 def build_step(dtype_str: str = "bfloat16"):
+    """Split G / D programs measuring the same per-step work as the fused
+    trainer step. This environment's TPU compiler takes hour-scale on the
+    fused G+D backward graph even at reduced optimization effort; two
+    smaller programs compile in minutes and dispatch back-to-back."""
+    import functools
+
     import jax
     import jax.numpy as jnp
+    import optax
 
+    from vqgan_tpu.losses.gan import discriminator_loss, generator_loss
     from vqgan_tpu.models import VQVAE
     from vqgan_tpu.models.discriminator import PatchGANDiscriminator
     from vqgan_tpu.models.lpips import LPIPS, perceptual_loss_fn
-    from vqgan_tpu.training import (
-        VQGANTrainState, make_gan_optimizers, make_vqgan_train_step)
+    from vqgan_tpu.training import make_gan_optimizers
 
     dtype = jnp.bfloat16 if dtype_str == "bfloat16" else jnp.float32
 
@@ -62,29 +69,64 @@ def build_step(dtype_str: str = "bfloat16"):
     lpips_params = lpips.init(jax.random.PRNGKey(2), x, x)
     disc_params = {"params": disc_vars["params"]}
     disc_stats = {"batch_stats": disc_vars["batch_stats"]}
-
-    def vqvae_apply(params, images):
-        return vqvae.apply(params, images)
-
-    def disc_apply(params, stats, images, train):
-        if train:
-            logits, upd = disc.apply({**params, **stats}, images, train=True,
-                                     mutable=["batch_stats"])
-            return logits, {"batch_stats": upd["batch_stats"]}
-        return disc.apply({**params, **stats}, images, train=False), stats
+    perceptual_fn = perceptual_loss_fn(lpips_params, lpips)
 
     opt_g, opt_d = make_gan_optimizers()
     fast = os.environ.get("BENCH_FAST_COMPILE", "1") == "1"
-    step_fn = make_vqgan_train_step(
-        vqvae_apply, disc_apply, opt_g, opt_d, disc_start=2,
-        perceptual_fn=perceptual_loss_fn(lpips_params, lpips), donate=True,
-        fast_compile=fast)
-    state = VQGANTrainState(
-        step=jnp.asarray(0), vqvae_params=vq_params,
-        disc_params=disc_params, disc_stats=disc_stats,
+    options = {"exec_time_optimization_effort": -1.0} if fast else None
+
+    def g_step(vq_params, opt_g_state, disc_params, disc_stats, images):
+        def loss_fn(p):
+            recon, loss_dict, _ = vqvae.apply(p, images)
+            logits_fake = disc.apply({**disc_params, **disc_stats}, recon,
+                                     train=False)
+            total, log = generator_loss(
+                images, recon, logits_fake, disc_active=True,
+                disc_weight=0.1, perceptual_fn=perceptual_fn)
+            return total + loss_dict["vq_loss"], (recon, log)
+
+        (loss, (recon, log)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(vq_params)
+        updates, opt_g_state = opt_g.update(grads, opt_g_state, vq_params)
+        return (optax.apply_updates(vq_params, updates), opt_g_state,
+                jax.lax.stop_gradient(recon), loss)
+
+    def d_step(disc_params, disc_stats, opt_d_state, images, recon):
+        def loss_fn(p):
+            lr_, stats = disc.apply({**p, **disc_stats}, images, train=True,
+                                    mutable=["batch_stats"])
+            lf_, stats = disc.apply({**p, **stats}, recon, train=True,
+                                    mutable=["batch_stats"])
+            d_loss, _ = discriminator_loss(lr_, lf_, disc_active=True)
+            return d_loss, stats
+
+        (d_loss, stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(disc_params)
+        updates, opt_d_state = opt_d.update(grads, opt_d_state, disc_params)
+        return (optax.apply_updates(disc_params, updates),
+                {"batch_stats": stats["batch_stats"]}, opt_d_state, d_loss)
+
+    g_jit = jax.jit(g_step, compiler_options=options)
+    d_jit = jax.jit(d_step, compiler_options=options)
+
+    state = dict(
+        vq_params=vq_params, disc_params=disc_params, disc_stats=disc_stats,
         opt_g=opt_g.init(vq_params), opt_d=opt_d.init(disc_params))
     images = jax.random.uniform(
         jax.random.PRNGKey(3), (BATCH, IMAGE_SIZE, IMAGE_SIZE, 3))
+
+    def step_fn(state, images):
+        vq_params, opt_g_state, recon, g_loss = g_jit(
+            state["vq_params"], state["opt_g"], state["disc_params"],
+            state["disc_stats"], images)
+        disc_params, disc_stats, opt_d_state, d_loss = d_jit(
+            state["disc_params"], state["disc_stats"], opt_d_state_in :=
+            state["opt_d"], images, recon)
+        new_state = dict(vq_params=vq_params, disc_params=disc_params,
+                         disc_stats=disc_stats, opt_g=opt_g_state,
+                         opt_d=opt_d_state)
+        return new_state, {"loss_total": g_loss, "d_loss": d_loss}
+
     return step_fn, state, images
 
 

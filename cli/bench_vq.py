@@ -1,0 +1,57 @@
+#!/usr/bin/env python
+"""Microbenchmark: fused Pallas VQ lookup vs the XLA dist+argmin+gather path.
+
+The fused kernel's advantage is the single HBM pass (the [N, K] distance
+matrix never materializes); the XLA path wins on compile time when embedded
+in big training graphs (see ops/vq.py). This tool measures the raw-op
+runtime trade on the current device across codebook sizes.
+
+Usage: python cli/bench_vq.py [--n 8192] [--k 1024 8192 16384] [--d 256]
+"""
+
+import argparse
+import time
+
+from _common import REPO  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=8192,
+                    help="flattened spatial positions (B*H*W)")
+    ap.add_argument("--k", type=int, nargs="+",
+                    default=[1024, 8192, 16384])
+    ap.add_argument("--d", type=int, default=256)
+    ap.add_argument("--iters", type=int, default=50)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from vqgan_tpu.ops.vq import vq_lookup
+
+    print(f"device: {jax.devices()[0]}, N={args.n}, D={args.d}")
+    key = jax.random.PRNGKey(0)
+
+    for k in args.k:
+        kz, ke = jax.random.split(jax.random.fold_in(key, k))
+        z = jax.random.normal(kz, (args.n, args.d))
+        cb = jax.random.normal(ke, (k, args.d)) * 0.1
+
+        for name, use_kernel in (("xla", False), ("pallas", True)):
+            fn = jax.jit(
+                lambda z, cb, uk=use_kernel: vq_lookup(z, cb, uk, False))
+            out = fn(z, cb)
+            jax.block_until_ready(out)
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                out = fn(z, cb)
+            jax.block_until_ready(out)
+            dt = (time.perf_counter() - t0) / args.iters
+            gb = (args.n * args.d * 2 + k * args.d) * 4 / 1e9
+            print(f"K={k:6d} {name:>7}: {dt * 1e6:9.1f} us "
+                  f"({gb / dt:6.1f} GB/s effective)")
+
+
+if __name__ == "__main__":
+    main()
