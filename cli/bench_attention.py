@@ -39,34 +39,57 @@ def main():
 
         flops_fwd = 4 * args.batch * args.heads * s * s * args.dim
 
-        for name, fn in (
-            ("xla-einsum", jax.jit(sdpa_reference)),
-            ("pallas-flash", jax.jit(flash_attention)),
-        ):
-            out = fn(q, k, v)
-            jax.block_until_ready(out)
-            t0 = time.perf_counter()
-            for _ in range(args.iters):
-                out = fn(q, k, v)
-            jax.block_until_ready(out)
-            dt = (time.perf_counter() - t0) / args.iters
-            print(f"S={s:5d} {name:>13} fwd: {dt * 1e3:8.2f} ms "
-                  f"({flops_fwd / dt / 1e12:6.2f} TFLOP/s)")
+        iters = args.iters
+
+        def chained(base):
+            # iterations chained inside one jitted loop (data dependency on
+            # q) so timings reflect real per-call latency
+            def loop(q, k, v):
+                def body(i, carry):
+                    qc, acc = carry
+                    out = base(qc, k, v)
+                    return (qc + out * 1e-3, acc + out[0, 0, 0, 0])
+
+                return jax.lax.fori_loop(0, iters, body, (q, 0.0))[1]
+
+            return jax.jit(loop)
 
         for name, base in (
             ("xla-einsum", sdpa_reference),
             ("pallas-flash", flash_attention),
         ):
-            loss = jax.jit(jax.grad(
-                lambda q, k, v: jnp.sum(base(q, k, v).astype(jnp.float32) ** 2),
-                argnums=(0, 1, 2)))
-            g = loss(q, k, v)
-            jax.block_until_ready(g)
+            fn = chained(base)
+            jax.block_until_ready(fn(q, k, v))
             t0 = time.perf_counter()
-            for _ in range(args.iters):
-                g = loss(q, k, v)
-            jax.block_until_ready(g)
-            dt = (time.perf_counter() - t0) / args.iters
+            jax.block_until_ready(fn(q, k, v))
+            dt = (time.perf_counter() - t0) / iters
+            print(f"S={s:5d} {name:>13} fwd: {dt * 1e3:8.2f} ms "
+                  f"({flops_fwd / dt / 1e12:6.2f} TFLOP/s)")
+
+        def chained_grad(base):
+            g1 = jax.grad(
+                lambda q, k, v: jnp.sum(
+                    base(q, k, v).astype(jnp.float32) ** 2))
+
+            def loop(q, k, v):
+                def body(i, carry):
+                    qc, acc = carry
+                    dq = g1(qc, k, v)
+                    return (qc + dq * 1e-6, acc + dq[0, 0, 0, 0])
+
+                return jax.lax.fori_loop(0, iters, body, (q, 0.0))[1]
+
+            return jax.jit(loop)
+
+        for name, base in (
+            ("xla-einsum", sdpa_reference),
+            ("pallas-flash", flash_attention),
+        ):
+            fn = chained_grad(base)
+            jax.block_until_ready(fn(q, k, v))
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(q, k, v))
+            dt = (time.perf_counter() - t0) / iters
             print(f"S={s:5d} {name:>13} fwd+bwd: {dt * 1e3:8.2f} ms")
 
 

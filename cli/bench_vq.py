@@ -39,15 +39,23 @@ def main():
         cb = jax.random.normal(ke, (k, args.d)) * 0.1
 
         for name, use_kernel in (("xla", False), ("pallas", True)):
-            fn = jax.jit(
-                lambda z, cb, uk=use_kernel: vq_lookup(z, cb, uk, False))
-            out = fn(z, cb)
-            jax.block_until_ready(out)
+            iters = args.iters
+
+            # chain iterations inside one jitted loop with a data dependency
+            # so nothing is hoisted or pipelined away
+            def loop(z, cb, uk=use_kernel):
+                def body(i, carry):
+                    zc, acc = carry
+                    zq, idx, usage = vq_lookup(zc, cb, uk, False)
+                    return (zc + zq * 1e-20, acc + zq[0, 0])
+
+                return jax.lax.fori_loop(0, iters, body, (z, 0.0))[1]
+
+            fn = jax.jit(loop)
+            jax.block_until_ready(fn(z, cb))  # compile
             t0 = time.perf_counter()
-            for _ in range(args.iters):
-                out = fn(z, cb)
-            jax.block_until_ready(out)
-            dt = (time.perf_counter() - t0) / args.iters
+            jax.block_until_ready(fn(z, cb))
+            dt = (time.perf_counter() - t0) / iters
             gb = (args.n * args.d * 2 + k * args.d) * 4 / 1e9
             print(f"K={k:6d} {name:>7}: {dt * 1e6:9.1f} us "
                   f"({gb / dt:6.1f} GB/s effective)")
