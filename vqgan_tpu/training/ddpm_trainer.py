@@ -75,6 +75,7 @@ class Trainer:
         save_best_and_latest_only: bool = False,
         use_mesh: bool = True,
         seed: int = 0,
+        dataset=None,  # any indexable dataset (e.g. Dataset1D) instead of a folder
     ):
         assert math.sqrt(num_samples) == int(math.sqrt(num_samples)), \
             "num_samples must be a square"
@@ -129,9 +130,10 @@ class Trainer:
             self.state = replicate(self.state, self.mesh)
 
         self.loader = None
-        if folder is not None:
-            ds = FolderDataset(folder, diffusion.image_size)
-            self.loader = BatchLoader(ds, train_batch_size, repeat=True,
+        if dataset is None and folder is not None:
+            dataset = FolderDataset(folder, diffusion.image_size)
+        if dataset is not None:
+            self.loader = BatchLoader(dataset, train_batch_size, repeat=True,
                                       seed=seed)
 
         self.ckpt = CheckpointManager(self.results_folder, prefix="model")
