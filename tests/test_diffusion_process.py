@@ -189,6 +189,6 @@ def test_return_all_timesteps():
         model_apply, image_size=8, channels=3, timesteps=10,
         objective="pred_x0", auto_normalize=False)
     all2 = gd2.p_sample_loop(
-        {}, jax.random.PRNGKey(10), (1, 8, 8, 3), cond_scale=1.0,
+        {}, jax.random.PRNGKey(10), (2, 8, 8, 3), cond_scale=1.0,
         return_all_timesteps=True)
-    assert all2.shape == (1, 11, 8, 8, 3)
+    assert all2.shape == (2, 11, 8, 8, 3)
