@@ -52,9 +52,9 @@ def main():
                 return jax.lax.fori_loop(0, iters, body, (z, 0.0))[1]
 
             fn = jax.jit(loop)
-            jax.block_until_ready(fn(z, cb))  # compile
+            float(fn(z, cb))  # compile + true sync (scalar fetch)
             t0 = time.perf_counter()
-            jax.block_until_ready(fn(z, cb))
+            float(fn(z, cb))
             dt = (time.perf_counter() - t0) / iters
             gb = (args.n * args.d * 2 + k * args.d) * 4 / 1e9
             print(f"K={k:6d} {name:>7}: {dt * 1e6:9.1f} us "
