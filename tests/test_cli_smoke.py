@@ -1,0 +1,90 @@
+"""Smoke tests of the CLI surfaces via subprocess (CPU backend).
+
+Drives the argparse entry points the way a user would; heavier training CLIs
+are covered by the in-process trainer integration tests.
+"""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).parent.parent
+CLI = REPO / "cli"
+
+
+def _run(args, timeout=600):
+    """Run a CLI on the CPU backend (strip the TPU plugin env)."""
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.pop("JAX_PLATFORMS", None)
+    env["PYTHONPATH"] = str(REPO)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    return subprocess.run(
+        [sys.executable, *args], capture_output=True, text=True,
+        timeout=timeout, env=env, cwd=str(CLI))
+
+
+@pytest.fixture(scope="module")
+def fake_data(tmp_path_factory):
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("cli_gait")
+    rng = np.random.default_rng(0)
+    for u in range(1, 3):
+        d = root / f"ID_{u}"
+        d.mkdir()
+        for i in range(8):
+            arr = rng.integers(0, 255, (24, 24, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(d / f"f{i}.jpg")
+    return root
+
+
+def test_create_data_split_cli(fake_data, tmp_path):
+    split = tmp_path / "split.json"
+    r = _run([CLI / "create_data_split.py", "--data_path", str(fake_data),
+              "--num_users", "2", "--images_per_user_train", "5",
+              "--output", str(split)])
+    assert r.returncode == 0, r.stderr
+    assert split.exists()
+    data = json.loads(split.read_text())
+    assert len(data["users"]) == 2
+
+    # --verify path
+    r2 = _run([CLI / "create_data_split.py", "--data_path", str(fake_data),
+               "--output", str(split), "--verify"])
+    assert r2.returncode == 0, r2.stderr
+    assert "split OK" in r2.stdout
+
+
+def test_load_dataset_cli(fake_data, tmp_path):
+    split = tmp_path / "split.json"
+    _run([CLI / "create_data_split.py", "--data_path", str(fake_data),
+          "--num_users", "2", "--images_per_user_train", "5",
+          "--output", str(split)])
+    r = _run([CLI / "load_dataset.py", "--data_root", str(fake_data),
+              "--split", str(split), "--image_size", "16", "--test_load"])
+    assert r.returncode == 0, r.stderr
+    assert "smoke load OK" in r.stdout
+    assert "total: 10 train / 6 test" in r.stdout
+
+
+def test_cli_error_paths(tmp_path):
+    # verify on a corrupted split reports problems and exits nonzero
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({
+        "metadata": {},
+        "users": {"ID_1": {
+            "total_images": 2,
+            "train_images": ["a.jpg"], "train_indices": [0],
+            "test_images": ["a.jpg"], "test_indices": [1],
+        }},
+    }))
+    r = _run([CLI / "create_data_split.py", "--data_path", str(tmp_path),
+              "--output", str(bad), "--verify"])
+    assert r.returncode == 1
+    assert "overlap" in r.stdout

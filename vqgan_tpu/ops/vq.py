@@ -6,11 +6,14 @@ quantizer.py:68-80) with ONE Pallas kernel:
 
 - distances via ‖z‖² + ‖e‖² − 2·z·Eᵀ with the matmul on the MXU and fp32
   accumulation,
-- running argmin over codebook tiles (scores never materialize in HBM),
-- the gather expressed as a one-hot × codebook matmul (MXU-friendly; no
-  dynamic gather on the VPU),
+- running argmin over codebook tiles (the [N, K] score matrix never
+  materializes in HBM; first-occurrence tie-breaking matches torch.argmin),
 - per-tile code-usage histogram fused in (the collapse monitor the reference
   computes separately via bincount, quantizer.py:134-149).
+
+The row gather (z_q = E[idx]) runs OUTSIDE the kernel as an XLA take: it is
+an O(N·D) memory op there, while an in-kernel one-hot matmul would double
+the MXU work (measured 1.7x slower at K=8192).
 
 Gradient contract (custom_vjp): z_q is differentiable w.r.t. the codebook
 (scatter-add of cotangents into the selected rows) and has zero gradient to
