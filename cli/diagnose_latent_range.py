@@ -30,6 +30,7 @@ def main():
     import jax.numpy as jnp
 
     from vqgan_tpu.data import load_image
+    from vqgan_tpu.data.datasets import pad_to_batch
     from vqgan_tpu.data.splits import IMAGE_EXTENSIONS
 
     root = Path(args.data_path)
@@ -66,9 +67,7 @@ def main():
     for s in range(0, len(files), args.batch_size):
         chunk = files[s : s + args.batch_size]
         imgs = np.stack([load_image(p, args.image_size) for p in chunk])
-        pad = args.batch_size - len(chunk)
-        if pad:
-            imgs = np.concatenate([imgs, np.zeros_like(imgs[:pad])])
+        imgs = pad_to_batch(imgs, args.batch_size)
         z = np.asarray(encode(jnp.asarray(imgs)))[: len(chunk)]
         lat_stats.append(z.reshape(len(chunk), -1))
     lat = np.concatenate(lat_stats)

@@ -24,7 +24,9 @@ def main():
     ap.add_argument("--images_per_user_train", type=int, default=50)
     ap.add_argument("--image_size", type=int, default=256)
     ap.add_argument("--batch_size", type=int, default=56)
-    ap.add_argument("--encode_test", action="store_true", default=True)
+    ap.add_argument("--encode_test", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="also encode test images (--no-encode_test to skip)")
     ap.add_argument("--seed", type=int, default=42)
     args = ap.parse_args()
 
@@ -33,6 +35,7 @@ def main():
 
     from vqgan_tpu.data import (LatentCache, create_data_split, load_image,
                                 save_split, verify_split)
+    from vqgan_tpu.data.datasets import pad_to_batch
     from vqgan_tpu.models import KLVAE
 
     vae, vae_params = load_vae(args.vae_path, image_size=args.image_size)
@@ -62,10 +65,7 @@ def main():
         chunk = todo[s : s + args.batch_size]
         imgs = np.stack([
             load_image(root / u / n, args.image_size) for u, n, _ in chunk])
-        # pad the last batch to the compiled batch size
-        pad = args.batch_size - len(chunk)
-        if pad:
-            imgs = np.concatenate([imgs, np.zeros_like(imgs[:pad])])
+        imgs = pad_to_batch(imgs, args.batch_size)
         latents = np.asarray(encode(jnp.asarray(imgs)))
         for (u, n, label), z in zip(chunk, latents):
             cache.save(label, n, z)

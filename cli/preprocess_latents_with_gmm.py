@@ -43,6 +43,7 @@ def main():
     import jax.numpy as jnp
 
     from vqgan_tpu.data import LatentCache, load_image
+    from vqgan_tpu.data.datasets import pad_to_batch
     from vqgan_tpu.data.gmm import (
         gmm_fit, gmm_predict, pca_fit, standardize,
         stratified_sample_from_clusters)
@@ -82,9 +83,7 @@ def main():
             chunk = files[s : s + args.batch_size]
             imgs = np.stack(
                 [load_image(p, args.image_size) for p in chunk])
-            pad = args.batch_size - len(chunk)
-            if pad:
-                imgs = np.concatenate([imgs, np.zeros_like(imgs[:pad])])
+            imgs = pad_to_batch(imgs, args.batch_size)
             z = np.asarray(encode(jnp.asarray(imgs)))[: len(chunk)]
             latents.append(z)
         latents = np.concatenate(latents)  # [N, h, w, c]

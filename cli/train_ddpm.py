@@ -69,6 +69,7 @@ def main():
         objective=args.objective, beta_schedule=args.beta_schedule,
         ddim_sampling_eta=0.0, immiscible=args.immiscible,
         offset_noise_strength=args.offset_noise_strength,
+        self_condition=args.self_condition,
         auto_normalize=True)
 
     fid_eval = None

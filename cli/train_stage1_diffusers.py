@@ -44,7 +44,8 @@ def main():
     ap.add_argument("--gradient_checkpointing", action="store_true")
     ap.add_argument("--mixed_precision", choices=["no", "bf16"],
                     default="bf16")
-    ap.add_argument("--use_ema", action="store_true", default=True)
+    ap.add_argument("--use_ema", action=argparse.BooleanOptionalAction,
+                    default=True, help="--no-use_ema disables EMA")
     ap.add_argument("--ema_decay", type=float, default=0.9999)
     ap.add_argument("--snr_gamma", type=float, default=5.0)
     ap.add_argument("--prediction_type", default="v_prediction",

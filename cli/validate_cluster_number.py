@@ -51,6 +51,7 @@ def main():
     import jax.numpy as jnp
 
     from vqgan_tpu.data import load_image
+    from vqgan_tpu.data.datasets import pad_to_batch
     from vqgan_tpu.data.gmm import (
         calinski_harabasz_score, davies_bouldin_score, gmm_aic, gmm_bic,
         gmm_fit, gmm_predict, pca_fit, silhouette_score, standardize)
@@ -77,9 +78,7 @@ def main():
         for s in range(0, len(files), args.batch_size):
             chunk = files[s : s + args.batch_size]
             imgs = np.stack([load_image(p, args.image_size) for p in chunk])
-            pad = args.batch_size - len(chunk)
-            if pad:
-                imgs = np.concatenate([imgs, np.zeros_like(imgs[:pad])])
+            imgs = pad_to_batch(imgs, args.batch_size)
             latents.append(np.asarray(encode(jnp.asarray(imgs)))[: len(chunk)])
         feats = jnp.asarray(np.concatenate(latents).reshape(len(files), -1))
         feats_std, _, _ = standardize(feats)

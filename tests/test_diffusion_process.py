@@ -192,3 +192,22 @@ def test_return_all_timesteps():
         {}, jax.random.PRNGKey(10), (2, 8, 8, 3), cond_scale=1.0,
         return_all_timesteps=True)
     assert all2.shape == (2, 11, 8, 8, 3)
+
+
+def test_self_conditioning_end_to_end():
+    # a self-conditioned model must receive a nonzero x_self_cond on ~half
+    # the training steps and a carried x0 during sampling
+    def model_apply(params, x, t, x_self_cond=None, return_features=False):
+        assert x_self_cond is not None  # plumbing must always supply it
+        return jnp.zeros_like(x) + x_self_cond * 0.01
+
+    gd = GaussianDiffusion(
+        model_apply, image_size=8, channels=3, timesteps=20,
+        sampling_timesteps=4, objective="pred_x0", auto_normalize=False,
+        self_condition=True)
+    # training: loss runs the two-pass scheme without error
+    loss = gd.loss({}, jax.random.PRNGKey(0), jnp.zeros((2, 8, 8, 3)))
+    assert jnp.isfinite(loss)
+    # sampling: runs with the carried self-cond
+    out = gd.sample({}, jax.random.PRNGKey(1), batch_size=1, cond_scale=1.0)
+    assert bool(jnp.isfinite(out).all())

@@ -86,6 +86,37 @@ def test_supcon_singleton_class_guard():
     assert jnp.isfinite(loss)
 
 
+def test_supcon_multiview_mask_alignment():
+    # hand-checked case: identical features within a class across views must
+    # yield a LOWER loss than when the second view's rows are shuffled across
+    # classes — only true if the mask/view stacking orders agree
+    base = jnp.array([[1.0, 0.0], [1.0, 0.0], [0.0, 1.0], [0.0, 1.0]])
+    labels = jnp.array([0, 0, 1, 1])
+    aligned = jnp.stack([base, base], axis=1)  # [B, 2, D]
+    shuffled = jnp.stack([base, base[::-1]], axis=1)
+    assert float(supcon_loss(aligned, labels)) < float(
+        supcon_loss(shuffled, labels))
+
+    # reference-ordering cross-check in numpy (view-major stacking)
+    feats = jax.random.normal(jax.random.PRNGKey(9), (3, 2, 4))
+    feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
+    lab = np.array([0, 1, 0])
+    f = np.asarray(feats, np.float64)
+    stacked = np.concatenate([f[:, 0], f[:, 1]], axis=0)  # v*B + i
+    mask = (lab[:, None] == lab[None, :]).astype(float)
+    mask = np.tile(mask, (2, 2))
+    logits = stacked @ stacked.T / 0.07
+    logits -= logits.max(1, keepdims=True)
+    self_mask = 1 - np.eye(6)
+    mask *= self_mask
+    denom = (np.exp(logits) * self_mask).sum(1, keepdims=True)
+    log_prob = logits - np.log(denom)
+    mlpp = (mask * log_prob).sum(1) / np.maximum(mask.sum(1), 1)
+    expected = float(np.mean(-mlpp))
+    got = float(supcon_loss(feats, jnp.asarray(lab)))
+    np.testing.assert_allclose(got, expected, rtol=1e-4)
+
+
 def test_supcon_one_anchor_mode():
     feats = jax.random.normal(jax.random.PRNGKey(3), (4, 2, 8))
     feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)

@@ -38,6 +38,16 @@ IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
+def pad_to_batch(imgs: np.ndarray, batch_size: int) -> np.ndarray:
+    """Zero-pad a partial batch up to the compiled batch size (keeps jitted
+    encoders at one static shape; callers slice the real rows back out)."""
+    pad = batch_size - len(imgs)
+    if pad <= 0:
+        return imgs
+    return np.concatenate(
+        [imgs, np.zeros((pad,) + imgs.shape[1:], imgs.dtype)])
+
+
 def load_image(
     path: str | Path, image_size: int, imagenet_norm: bool = False
 ) -> np.ndarray:
@@ -158,6 +168,13 @@ class BatchLoader:
         prefetch: int = 2,
         repeat: bool = False,
     ):
+        if batch_size <= 0:
+            raise ValueError(f"batch_size must be positive, got {batch_size}")
+        if drop_last and len(dataset) < batch_size:
+            raise ValueError(
+                f"dataset has {len(dataset)} items < batch_size "
+                f"{batch_size} with drop_last=True — no batch can ever be "
+                f"produced")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -180,18 +197,28 @@ class BatchLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put(item):
+            """put() that observes stop while the queue is full."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             while True:
                 order = self._epoch_order()
                 n = len(order)
                 end = n - (n % self.batch_size) if self.drop_last else n
                 for s in range(0, end, self.batch_size):
-                    if stop.is_set():
+                    if not put(self._make_batch(
+                            order[s : s + self.batch_size])):
                         return
-                    q.put(self._make_batch(order[s : s + self.batch_size]))
                 if not self.repeat:
                     break
-            q.put(None)
+            put(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

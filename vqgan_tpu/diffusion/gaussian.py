@@ -94,6 +94,9 @@ class GaussianDiffusion:
     use_cfg_plus_plus: bool = False
     auto_normalize: bool = True
     immiscible: bool = False
+    self_condition: bool = False  # unconditional models only (reference
+    # ddpm.py: 50% coin-flip stop-gradient x0 estimate during training,
+    # previous step's x0 during sampling)
     schedule: DiffusionSchedule = None
 
     def __post_init__(self):
@@ -132,6 +135,7 @@ class GaussianDiffusion:
         cond_scale: float = 6.0,
         rescaled_phi: float = 0.7,
         clip_x_start: bool = False,
+        x_self_cond=None,
     ) -> Tuple[jax.Array, jax.Array]:
         """Returns (pred_noise, pred_x_start)."""
         sched = self.schedule
@@ -139,7 +143,12 @@ class GaussianDiffusion:
         if classes is None or cond_scale == 1.0:
             # compile-time fast path: single conditional forward
             if classes is None:
-                model_output = self.model_apply(params, x, t)
+                if self.self_condition:
+                    if x_self_cond is None:
+                        x_self_cond = jnp.zeros_like(x)
+                    model_output = self.model_apply(params, x, t, x_self_cond)
+                else:
+                    model_output = self.model_apply(params, x, t)
             else:
                 b = x.shape[0]
                 model_output = self.model_apply(
@@ -232,6 +241,22 @@ class GaussianDiffusion:
             model_out = self.model_apply(
                 params, x, t, classes, return_features=return_features, **kwargs
             )
+        elif self.self_condition:
+            # 50% of steps feed a stop-gradient x0 estimate from a first
+            # no-self-cond forward (reference ddpm.py p_losses)
+            pred0 = self.model_apply(params, x, t, jnp.zeros_like(x))
+            if self.objective == "pred_noise":
+                x0_est = dm.predict_start_from_noise(self.schedule, x, t, pred0)
+            elif self.objective == "pred_x0":
+                x0_est = pred0
+            else:
+                x0_est = dm.predict_start_from_v(self.schedule, x, t, pred0)
+            x0_est = jax.lax.stop_gradient(x0_est)
+            coin = jax.random.uniform(k_drop, ()) < 0.5
+            x_self_cond = jnp.where(coin, x0_est, 0.0)
+            model_out = self.model_apply(
+                params, x, t, x_self_cond, return_features=return_features
+            )
         else:
             model_out = self.model_apply(
                 params, x, t, return_features=return_features
@@ -296,15 +321,17 @@ class GaussianDiffusion:
         pairs = self._ddim_time_pairs()
         k_init, k_loop = jax.random.split(key)
         img0 = jax.random.normal(k_init, shape, jnp.float32)
+        xs0 = jnp.zeros(shape, jnp.float32)
 
         def body(carry, pair):
-            img, k = carry
+            img, prev_x_start, k = carry
             time, time_next = pair[0], pair[1]
             tb = jnp.full((shape[0],), time, jnp.int32)
             pred_noise, x_start = self.model_predictions(
                 params, img, tb, classes,
                 cond_scale=cond_scale, rescaled_phi=rescaled_phi,
                 clip_x_start=clip_denoised,
+                x_self_cond=prev_x_start if self.self_condition else None,
             )
             k, kn = jax.random.split(k)
             noise = jax.random.normal(kn, shape, jnp.float32)
@@ -312,9 +339,9 @@ class GaussianDiffusion:
                 self.schedule, img, x_start, pred_noise, time, time_next,
                 noise, self.ddim_sampling_eta,
             )
-            return (img, k), (img if return_all_timesteps else None)
+            return (img, x_start, k), (img if return_all_timesteps else None)
 
-        (img, _), steps = jax.lax.scan(body, (img0, k_loop), pairs)
+        (img, _, _), steps = jax.lax.scan(body, (img0, xs0, k_loop), pairs)
         if return_all_timesteps:
             all_imgs = jnp.concatenate(
                 [img0[:, None], jnp.swapaxes(steps, 0, 1)], axis=1)
@@ -336,14 +363,16 @@ class GaussianDiffusion:
         """Ancestral DDPM sampler as one lax.scan (reference cfg.py:784-805)."""
         k_init, k_loop = jax.random.split(key)
         img0 = jax.random.normal(k_init, shape, jnp.float32)
+        xs0 = jnp.zeros(shape, jnp.float32)
         ts = jnp.arange(self.timesteps - 1, -1, -1, dtype=jnp.int32)
 
         def body(carry, t):
-            img, k = carry
+            img, prev_x_start, k = carry
             tb = jnp.full((shape[0],), t, jnp.int32)
             _, x_start = self.model_predictions(
                 params, img, tb, classes,
                 cond_scale=cond_scale, rescaled_phi=rescaled_phi,
+                x_self_cond=prev_x_start if self.self_condition else None,
             )
             if clip_denoised:
                 x_start = jnp.clip(x_start, -1.0, 1.0)
@@ -352,9 +381,9 @@ class GaussianDiffusion:
             noise = jax.random.normal(kn, shape, jnp.float32)
             noise = jnp.where(t > 0, noise, 0.0)  # no noise at t == 0
             img = mean + jnp.exp(0.5 * log_var) * noise
-            return (img, k), (img if return_all_timesteps else None)
+            return (img, x_start, k), (img if return_all_timesteps else None)
 
-        (img, _), steps = jax.lax.scan(body, (img0, k_loop), ts)
+        (img, _, _), steps = jax.lax.scan(body, (img0, xs0, k_loop), ts)
         if return_all_timesteps:
             all_imgs = jnp.concatenate(
                 [img0[:, None], jnp.swapaxes(steps, 0, 1)], axis=1)

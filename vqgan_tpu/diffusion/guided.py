@@ -111,9 +111,8 @@ class GuidedGaussianDiffusion(GaussianDiffusion):
             if cond_fn is not None:
                 # ε̂ = ε − √(1−ᾱ)·∇ log p(y|x) (classifier-guided DDIM)
                 grad = cond_fn(img, tb, **guidance_kwargs)
-                pred_noise = pred_noise - jnp.sqrt(
-                    dm.extract(sched.sqrt_one_minus_alphas_cumprod, tb,
-                               img.ndim) ** 2
+                pred_noise = pred_noise - dm.extract(
+                    sched.sqrt_one_minus_alphas_cumprod, tb, img.ndim
                 ) * grad
                 x_start = dm.predict_start_from_noise(sched, img, tb,
                                                       pred_noise)

@@ -125,8 +125,10 @@ class RePaintDiffusion(GaussianDiffusion):
             denoised = jnp.where(
                 t == 0, mask * gt_n + (1 - mask) * denoised, denoised)
 
-            # --- renoise branch: one forward β step t → t+1 ---------------
-            beta = sched.betas[jnp.minimum(t + 1, self.timesteps - 1)]
+            # --- renoise branch -------------------------------------------
+            # after DENOISE at t the state sits at level t-1; the RENOISE op
+            # recorded with value t ascends x_{t-1} → x_t, which uses β_t
+            beta = sched.betas[jnp.minimum(t, self.timesteps - 1)]
             renoised = (
                 jnp.sqrt(1 - beta) * img
                 + jnp.sqrt(beta) * jax.random.normal(k_step, shape, jnp.float32)

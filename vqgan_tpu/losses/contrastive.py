@@ -44,7 +44,10 @@ def supcon_loss(
             labels = labels.reshape(-1, 1)
             mask = (labels == labels.T).astype(jnp.float32)
 
-    contrast_features = features.reshape(b * n_views, -1)  # all views stacked
+    # stack VIEW-major (all of view 0, then view 1, ...): index v*B + i —
+    # the ordering the tiled label mask below assumes (matches the
+    # reference's torch.cat(torch.unbind(features, dim=1)))
+    contrast_features = jnp.swapaxes(features, 0, 1).reshape(b * n_views, -1)
     if contrast_mode == "one":
         anchor_features = features[:, 0]
         anchor_count = 1

@@ -221,8 +221,10 @@ class LatentDiffusionTrainer:
     def save_and_sample(self, milestone: int):
         cfg = self.config
         try:
-            latents, _ = self.sample()
+            # sampling is only worth the DDIM scan when a VAE can decode the
+            # latents into a viewable grid
             if self.vae is not None:
+                latents, _ = self.sample()
                 images = self.vae.apply(
                     self.vae_params, latents, method=KLVAE.decode_latents)
                 images = np.asarray(images)
