@@ -180,11 +180,22 @@ class LatentDiffusionTrainer:
 
         t0 = time.time()
         start = int(jax.device_get(self.state.step))
+        pending = None  # (step, device scalar) — one-step-delayed NaN check
         for step in range(start, num_steps):
             latents, labels = next(it)
             self.state, log = self.train_step(
                 self.state, self._put(jnp.asarray(latents)),
                 self._put(jnp.asarray(labels)), self._rng)
+
+            # Per-step health check (reference train_latent_cfg.py:653-671
+            # checks EVERY step). Pipelined: fetch the PREVIOUS step's loss
+            # after dispatching the current one, so the device queue never
+            # drains — divergence still aborts within nan_strikes+1 steps.
+            if pending is not None:
+                s_prev, loss_prev = pending
+                for w in self.watchdog.check(s_prev, float(loss_prev)):
+                    print(f"  [watchdog] {w}")
+            pending = (step + 1, log["loss"])
 
             if (step + 1) % log_every == 0:
                 host = {k: float(v) for k, v in jax.device_get(log).items()}
@@ -196,12 +207,13 @@ class LatentDiffusionTrainer:
                 if "contrastive_loss" in host:
                     msg += f" contrastive={host['contrastive_loss']:.4f}"
                 print(msg + f" ({ips:.1f} latents/s)")
-                for w in self.watchdog.check(step + 1, host["loss"]):
-                    print(f"  [watchdog] {w}")
 
             if (step + 1) % cfg.save_and_sample_every == 0:
                 self.save_and_sample(
                     (step + 1) // cfg.save_and_sample_every)
+        if pending is not None:
+            for w in self.watchdog.check(pending[0], float(pending[1])):
+                print(f"  [watchdog] {w}")
 
     # ------------------------------------------------------------------
 

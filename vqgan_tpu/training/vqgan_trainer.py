@@ -150,10 +150,21 @@ class VQGANTrainer:
 
         t0 = time.time()
         start = int(jax.device_get(self.state.step))
+        pending = None  # (step, device scalar) — one-step-delayed NaN check
         for step in range(start, num_steps):
             images, _ = next(it)
             self.state, log = self.train_step(
                 self.state, self._put(jnp.asarray(images)))
+
+            # Per-step health check, pipelined one step behind (see
+            # ldm_trainer.train): the reference checks every step
+            # (train_latent_cfg.py:653); fetching the previous step's scalar
+            # after dispatching the current one keeps the device busy.
+            if pending is not None:
+                s_prev, loss_prev = pending
+                for w in self.watchdog.check(s_prev, float(loss_prev)):
+                    print(f"  [watchdog] {w}")
+            pending = (step + 1, log["loss_total"])
 
             if (step + 1) % log_every == 0:
                 log_host = {k: float(v) for k, v in
@@ -168,14 +179,13 @@ class VQGANTrainer:
                     f"vq={log_host.get('vq_loss', 0):.4f} "
                     f"usage={log_host.get('codebook_usage_ratio', 0):.2f} "
                     f"({ips:.1f} img/s)")
-                for w in self.watchdog.check(step + 1,
-                                             log_host.get("loss_total",
-                                                          float("nan"))):
-                    print(f"  [watchdog] {w}")
 
             if (step + 1) % cfg.save_and_sample_every == 0:
                 self.save_and_sample((step + 1) // cfg.save_and_sample_every,
                                      images)
+        if pending is not None:
+            for w in self.watchdog.check(pending[0], float(pending[1])):
+                print(f"  [watchdog] {w}")
 
     # ------------------------------------------------------------------
 
