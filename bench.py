@@ -1,14 +1,23 @@
-"""Benchmark: stage-1 VQ-GAN training images/sec/chip (BASELINE config #2 —
-128×128, codebook 8192, LPIPS + PatchGAN, two-optimizer fused step).
+"""Benchmarks on production code paths, with FLOP/MFU accounting.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+Headline (BASELINE config #2): stage-1 VQ-GAN training images/sec/chip —
+128×128, codebook 8192, LPIPS + PatchGAN — timed through
+`VQGANTrainer.dispatch_step`, i.e. the EXACT programs the trainer runs
+(split G/D steps, training/vqgan_step.py), not a bench-only rebuild.
+
+Also measured (unless BENCH_SKIP_EXTRAS=1):
+  config #4 — CFG latent-diffusion DDIM-150 sampling + KL-VAE decode @256px
+  config #5 — EDM stochastic-Heun-32 sampling with the Karras MP U-Net @64px
+
+Each metric prints one JSON line
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+   "flops_per_step": F, "tflops_per_sec": T, "mfu": M}
+with FLOPs taken from XLA's cost analysis of the timed executable and MFU
+relative to the chip's bf16 peak (197 TFLOP/s on TPU v5e). The headline
+line prints LAST (the driver parses the final JSON line).
 
 vs_baseline = TPU images/sec divided by the same step measured on one CPU
-host (the driver's "≥10× CPU-baseline" target). The CPU number is measured
-once in a subprocess (JAX_PLATFORMS must be pinned in-process — the
-environment re-pins axon at interpreter startup) and cached in
-.bench_cache.json.
+host (the driver's "≥10× CPU-baseline" target), cached in .bench_cache.json.
 """
 
 import json
@@ -36,118 +45,177 @@ TIMED_STEPS = 10
 CACHE = REPO / ".bench_cache.json"
 
 
-def build_step(dtype_str: str = "bfloat16"):
-    """Split G / D programs measuring the same per-step work as the fused
-    trainer step. This environment's TPU compiler takes hour-scale on the
-    fused G+D backward graph even at reduced optimization effort; two
-    smaller programs compile in minutes and dispatch back-to-back."""
-    import functools
+def build_trainer():
+    """The production stage-1 trainer at BASELINE config #2 sizes."""
+    from vqgan_tpu.configs import VQGANConfig
+    from vqgan_tpu.training.vqgan_trainer import VQGANTrainer
 
-    import jax
+    cfg = VQGANConfig(
+        image_size=IMAGE_SIZE, num_embeddings=CODEBOOK,
+        embedding_dim=EMBED_DIM, batch_size=BATCH,
+        # validation couples codebook size to dataset size; the bench
+        # codebook (8192) needs the cap raised (31*300 > 8192)
+        images_per_user_train=300,
+    )
+    return VQGANTrainer(cfg, use_mesh=False)
+
+
+def measure(timed_steps: int = TIMED_STEPS, warmup: int = 3,
+            with_flops: bool = True):
+    """Time `trainer.dispatch_step` in the steady state (D active)."""
     import jax.numpy as jnp
-    import optax
 
-    from vqgan_tpu.losses.gan import discriminator_loss, generator_loss
-    from vqgan_tpu.models import VQVAE
-    from vqgan_tpu.models.discriminator import PatchGANDiscriminator
-    from vqgan_tpu.models.lpips import LPIPS, perceptual_loss_fn
-    from vqgan_tpu.training import make_gan_optimizers
-
-    dtype = jnp.bfloat16 if dtype_str == "bfloat16" else jnp.float32
-
-    vqvae = VQVAE(ch=128, ch_mult=(1, 2, 2, 4), num_res_blocks=2,
-                  resolution=IMAGE_SIZE, z_channels=256,
-                  num_embeddings=CODEBOOK, embedding_dim=EMBED_DIM,
-                  dtype=dtype)
-    disc = PatchGANDiscriminator(ndf=64, n_layers=3, norm="batch",
-                                 dtype=dtype)
-    lpips = LPIPS(dtype=dtype)
-
-    x = jnp.zeros((BATCH, IMAGE_SIZE, IMAGE_SIZE, 3))
-    vq_params = vqvae.init(jax.random.PRNGKey(0), x)
-    disc_vars = disc.init(jax.random.PRNGKey(1), x)
-    lpips_params = lpips.init(jax.random.PRNGKey(2), x, x)
-    disc_params = {"params": disc_vars["params"]}
-    disc_stats = {"batch_stats": disc_vars["batch_stats"]}
-    perceptual_fn = perceptual_loss_fn(lpips_params, lpips)
-
-    opt_g, opt_d = make_gan_optimizers()
-    # default-effort compile is fast for the split G/D programs (the hour-
-    # scale pathology was the fused step with the embedded Pallas VQ call)
-    # and yields 2.15x better step time than effort -1 (222.6 vs 103.5
-    # img/s measured)
-    fast = os.environ.get("BENCH_FAST_COMPILE", "0") == "1"
-    options = {"exec_time_optimization_effort": -1.0} if fast else None
-
-    def g_step(vq_params, opt_g_state, disc_params, disc_stats, images):
-        def loss_fn(p):
-            recon, loss_dict, _ = vqvae.apply(p, images)
-            logits_fake = disc.apply({**disc_params, **disc_stats}, recon,
-                                     train=False)
-            total, log = generator_loss(
-                images, recon, logits_fake, disc_active=True,
-                disc_weight=0.1, perceptual_fn=perceptual_fn)
-            return total + loss_dict["vq_loss"], (recon, log)
-
-        (loss, (recon, log)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(vq_params)
-        updates, opt_g_state = opt_g.update(grads, opt_g_state, vq_params)
-        return (optax.apply_updates(vq_params, updates), opt_g_state,
-                jax.lax.stop_gradient(recon), loss)
-
-    def d_step(disc_params, disc_stats, opt_d_state, images, recon):
-        def loss_fn(p):
-            lr_, stats = disc.apply({**p, **disc_stats}, images, train=True,
-                                    mutable=["batch_stats"])
-            lf_, stats = disc.apply({**p, **stats}, recon, train=True,
-                                    mutable=["batch_stats"])
-            d_loss, _ = discriminator_loss(lr_, lf_, disc_active=True)
-            return d_loss, stats
-
-        (d_loss, stats), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(disc_params)
-        updates, opt_d_state = opt_d.update(grads, opt_d_state, disc_params)
-        return (optax.apply_updates(disc_params, updates),
-                {"batch_stats": stats["batch_stats"]}, opt_d_state, d_loss)
-
-    g_jit = jax.jit(g_step, compiler_options=options)
-    d_jit = jax.jit(d_step, compiler_options=options)
-
-    state = dict(
-        vq_params=vq_params, disc_params=disc_params, disc_stats=disc_stats,
-        opt_g=opt_g.init(vq_params), opt_d=opt_d.init(disc_params))
+    trainer = build_trainer()
+    # steady state: both optimizers active (step >= disc_start)
+    disc_start = trainer.config.disc_start
+    state = trainer.state.replace(step=jnp.asarray(disc_start))
     images = jax.random.uniform(
         jax.random.PRNGKey(3), (BATCH, IMAGE_SIZE, IMAGE_SIZE, 3))
 
-    def step_fn(state, images):
-        vq_params, opt_g_state, recon, g_loss = g_jit(
-            state["vq_params"], state["opt_g"], state["disc_params"],
-            state["disc_stats"], images)
-        disc_params, disc_stats, opt_d_state, d_loss = d_jit(
-            state["disc_params"], state["disc_stats"], opt_d_state_in :=
-            state["opt_d"], images, recon)
-        new_state = dict(vq_params=vq_params, disc_params=disc_params,
-                         disc_stats=disc_stats, opt_g=opt_g_state,
-                         opt_d=opt_d_state)
-        return new_state, {"loss_total": g_loss, "d_loss": d_loss}
-
-    return step_fn, state, images
-
-
-def measure(timed_steps: int = TIMED_STEPS, warmup: int = 3) -> float:
-    import jax
-
-    step_fn, state, images = build_step()
+    step = disc_start
     for _ in range(warmup):
-        state, log = step_fn(state, images)
+        state, log = trainer.dispatch_step(state, images, step)
+        step += 1
     jax.block_until_ready(log["loss_total"])
 
     t0 = time.perf_counter()
     for _ in range(timed_steps):
-        state, log = step_fn(state, images)
+        state, log = trainer.dispatch_step(state, images, step)
+        step += 1
     jax.block_until_ready(log["loss_total"])
-    dt = time.perf_counter() - t0
-    return timed_steps * BATCH / dt
+    dt = (time.perf_counter() - t0) / timed_steps
+
+    flops = None
+    if with_flops and trainer.step_mode == "split":
+        from vqgan_tpu.utils.flops import jit_flops
+
+        # the steps donate their state arg, so lower from abstract avals —
+        # cost analysis only compiles, never executes
+        abstract = lambda tree: jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), tree)
+        a_state, a_images = abstract(state), abstract(images)
+        g_f = jit_flops(trainer.g_step, a_state, a_images)
+        if g_f is not None:
+            _, a_recon, _ = jax.eval_shape(trainer.g_step, a_state, a_images)
+            d_f = jit_flops(trainer.d_step, a_state, a_images, a_recon)
+            flops = g_f + (d_f or 0.0)
+    return BATCH / dt, dt, flops
+
+
+def bench_stage1() -> dict:
+    from vqgan_tpu.utils.flops import flops_report
+
+    ips, dt, flops = measure()
+    cpu_ips = cpu_baseline()
+    vs = ips / cpu_ips if cpu_ips == cpu_ips and cpu_ips > 0 else None
+    return {
+        "metric": "stage1 VQ-GAN train throughput "
+                  f"({IMAGE_SIZE}px, codebook {CODEBOOK}, LPIPS+PatchGAN, "
+                  "trainer dispatch_step)",
+        "value": round(ips, 3),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(vs, 2) if vs is not None else None,
+        **flops_report(flops, dt),
+    }
+
+
+def bench_cfg_sampling(batch: int = 16, steps: int = 150,
+                       cond_scale: float = 1.0) -> dict:
+    """BASELINE config #4: CFG DDIM sampling + KL-VAE decode to 256px, the
+    generate.py production pipeline as ONE compiled lax.scan program."""
+    import jax.numpy as jnp
+
+    from vqgan_tpu.configs import LDMConfig
+    from vqgan_tpu.models import KLVAE
+    from vqgan_tpu.models.autoencoder import AutoencoderConfig
+    from vqgan_tpu.training.ldm_trainer import build_cfg_unet_diffusion
+    from vqgan_tpu.utils.flops import flops_report, jit_flops
+
+    cfg = LDMConfig(sampling_timesteps=steps)
+    model, diffusion = build_cfg_unet_diffusion(cfg)
+    b = batch
+    x0 = jnp.zeros((b, cfg.latent_size, cfg.latent_size, cfg.latent_channels))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)}, x0, jnp.zeros((b,), jnp.int32),
+        jnp.zeros((b,), jnp.int32), cond_drop_mask=jnp.zeros((b,), bool))
+    classes = (jnp.arange(b) % cfg.num_users).astype(jnp.int32)
+    vae = KLVAE(config=AutoencoderConfig(resolution=cfg.image_size,
+                                         z_channels=cfg.latent_channels),
+                dtype=jnp.bfloat16)
+    vae_params = vae.init(
+        {"params": jax.random.PRNGKey(1), "gaussian": jax.random.PRNGKey(2)},
+        jnp.zeros((2, cfg.image_size, cfg.image_size, 3)))
+
+    @jax.jit
+    def pipeline(p, vp, key, classes):
+        latents = diffusion.sample(p, key, classes=classes,
+                                   cond_scale=cond_scale,
+                                   rescaled_phi=cfg.rescaled_phi)
+        return vae.apply(vp, latents, method=KLVAE.decode_latents)
+
+    key = jax.random.PRNGKey(3)
+    out = pipeline(params, vae_params, key, classes)
+    jax.block_until_ready(out)
+    iters = 3
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = pipeline(params, vae_params, jax.random.fold_in(key, i),
+                       classes)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    flops = jit_flops(pipeline, params, vae_params, key, classes)
+    return {
+        "metric": f"CFG DDIM-{steps} sampling + VAE decode at 256px "
+                  f"(dim=96 U-Net, cond_scale={cond_scale})",
+        "value": round(b / dt, 3),
+        "unit": "samples/sec/chip",
+        "vs_baseline": None,
+        **flops_report(flops, dt),
+    }
+
+
+def bench_edm(batch: int = 16, image_size: int = 64, dim: int = 64,
+              num_sample_steps: int = 32) -> dict:
+    """BASELINE config #5: EDM stochastic Heun sampling, Karras MP U-Net."""
+    import jax.numpy as jnp
+
+    from vqgan_tpu.diffusion import ElucidatedDiffusion
+    from vqgan_tpu.models.karras_unet import KarrasUnet
+    from vqgan_tpu.utils.flops import flops_report, jit_flops
+
+    model = KarrasUnet(
+        image_size=image_size, dim=dim, dim_max=dim * 4, num_classes=31,
+        channels=3, num_downsamples=2, num_blocks_per_stage=2,
+        attn_res=(16, 8), dtype=jnp.bfloat16)
+    b = batch
+    classes = (jnp.arange(b) % 31).astype(jnp.int32)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((b, image_size, image_size, 3)),
+                        jnp.zeros((b,)), class_labels=classes)
+
+    def net_apply(p, x, t_noise, self_cond=None):
+        return model.apply(p, x, t_noise, class_labels=classes)
+
+    ed = ElucidatedDiffusion(net_apply, image_size=image_size, channels=3,
+                             num_sample_steps=num_sample_steps)
+    heun = jax.jit(lambda p, k: ed.sample(p, k, batch_size=b))
+    out = heun(params, jax.random.PRNGKey(1))
+    jax.block_until_ready(out)
+    iters = 3
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = heun(params, jax.random.fold_in(jax.random.PRNGKey(2), i))
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    flops = jit_flops(heun, params, jax.random.PRNGKey(1))
+    return {
+        "metric": f"EDM Heun-{num_sample_steps} sampling, KarrasUnet "
+                  f"dim={dim} @ {image_size}px",
+        "value": round(b / dt, 3),
+        "unit": "samples/sec/chip",
+        "vs_baseline": None,
+        **flops_report(flops, dt),
+    }
 
 
 def cpu_baseline() -> float:
@@ -170,7 +238,8 @@ def cpu_baseline() -> float:
         "from jax._src import xla_bridge; xla_bridge._clear_backends();"
         f"import sys; sys.path.insert(0, {str(REPO)!r});"
         "from bench import measure; import json;"
-        "print('CPU_IPS=' + json.dumps(measure(timed_steps=2, warmup=1)))"
+        "ips, dt, _ = measure(timed_steps=2, warmup=1, with_flops=False);"
+        "print('CPU_IPS=' + json.dumps(ips))"
     )
     try:
         out = subprocess.run(
@@ -189,16 +258,14 @@ def cpu_baseline() -> float:
 
 
 def main():
-    ips = measure()
-    cpu_ips = cpu_baseline()
-    vs = ips / cpu_ips if cpu_ips == cpu_ips and cpu_ips > 0 else None
-    print(json.dumps({
-        "metric": "stage1 VQ-GAN train throughput "
-                  f"({IMAGE_SIZE}px, codebook {CODEBOOK}, LPIPS+PatchGAN)",
-        "value": round(ips, 3),
-        "unit": "images/sec/chip",
-        "vs_baseline": round(vs, 2) if vs is not None else None,
-    }))
+    if os.environ.get("BENCH_SKIP_EXTRAS", "0") != "1":
+        for fn in (bench_cfg_sampling, bench_edm):
+            try:
+                print(json.dumps(fn()), flush=True)
+            except Exception as e:  # an extra must never kill the headline
+                print(f"extra bench {fn.__name__} failed: {e}",
+                      file=sys.stderr)
+    print(json.dumps(bench_stage1()), flush=True)
 
 
 if __name__ == "__main__":

@@ -29,3 +29,25 @@ jax.config.update("jax_threefry_partitionable", True)
 # This environment's default matmul precision is bf16-grade even for fp32
 # inputs; parity tests need true fp32 matmuls.
 jax.config.update("jax_default_matmul_precision", "highest")
+
+
+# --- fast/slow tiers -------------------------------------------------------
+# `pytest -m "not slow"` is the fast tier. The slow set is data-driven from
+# measured durations (tests/slow_tests.txt) so nobody has to remember to
+# decorate; tests may ALSO carry an explicit @pytest.mark.slow.
+from pathlib import Path  # noqa: E402
+
+import pytest  # noqa: E402
+
+_SLOW_FILE = Path(__file__).parent / "slow_tests.txt"
+_SLOW_IDS = {
+    line.strip() for line in _SLOW_FILE.read_text().splitlines()
+    if line.strip() and not line.startswith("#")
+} if _SLOW_FILE.exists() else set()
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        base = item.nodeid.split("[", 1)[0]
+        if base in _SLOW_IDS or f"tests/{base}" in _SLOW_IDS:
+            item.add_marker(pytest.mark.slow)

@@ -1,0 +1,84 @@
+"""Multi-host (2-process × 4-device) distributed training test.
+
+Realizes SURVEY.md §5.8 / VERDICT r1 item 5: the LDM train step executed
+across two OS processes joined by `jax.distributed.initialize` over
+localhost must produce numerically identical results to the single-process
+8-device run (tests/test_sharding.py pattern). Each worker feeds only its
+local half of the global batch through `make_global_array`.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).parent.parent
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _worker_env() -> dict:
+    """Minimal hermetic env: the ambient session env can carry TPU-tunnel /
+    coordination variables that make a fresh JAX process auto-attach to an
+    unrelated coordination service (observed: axon relay auto-init leaving
+    process_count()==1). Start clean instead of copying os.environ."""
+    keep = ("PATH", "HOME", "LANG", "LC_ALL", "TMPDIR", "USER", "SHELL")
+    env = {k: os.environ[k] for k in keep if k in os.environ}
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["PYTHONPATH"] = str(REPO)
+    return env
+
+
+@pytest.mark.slow
+def test_two_process_ldm_step_matches_single_process():
+    port = _free_port()
+    script = REPO / "tests" / "multihost_worker.py"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(port), str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=_worker_env(), cwd=str(REPO))
+        for pid in range(2)
+    ]
+    results = {}
+    for p in procs:
+        out, err = p.communicate(timeout=900)
+        assert p.returncode == 0, f"worker failed:\n{out[-3000:]}\n{err[-3000:]}"
+        for line in out.splitlines():
+            if line.startswith("RESULT="):
+                r = json.loads(line[len("RESULT="):])
+                results[r["pid"]] = r
+    assert set(results) == {0, 1}, results
+
+    # both processes observe the same replicated training outcome
+    for key in ("loss", "grad_norm", "param_digest"):
+        np.testing.assert_allclose(results[0][key], results[1][key],
+                                   rtol=1e-6, err_msg=key)
+
+    # single-process reference on this process's 8 virtual devices
+    from vqgan_tpu.parallel import make_mesh, replicate, shard_batch
+    from multihost_worker import build, run_steps  # tests/ is on sys.path
+
+    step_fn, state, latents, classes, rng = build()
+    mesh = make_mesh()
+    state = replicate(state, mesh)
+    batch = shard_batch({"latents": latents, "classes": classes}, mesh)
+    log, digest = run_steps(step_fn, state, batch["latents"],
+                            batch["classes"], rng)
+
+    np.testing.assert_allclose(
+        results[0]["loss"], float(log["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        results[0]["grad_norm"], float(log["grad_norm"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        results[0]["param_digest"], float(digest), rtol=1e-5)

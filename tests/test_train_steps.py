@@ -14,6 +14,7 @@ from vqgan_tpu.training import (
     make_gan_optimizers,
     make_ldm_optimizer,
     make_ldm_train_step,
+    make_vqgan_split_steps,
     make_vqgan_train_step,
 )
 
@@ -94,6 +95,42 @@ def test_vqgan_step_post_disc_start(vqgan_setup):
     assert max(jax.tree.leaves(diff_d)) > 0  # D now trains
     assert jnp.isfinite(log["d_loss"])
     assert "d_acc" in log and "g_loss" in log
+
+
+def test_vqgan_split_matches_fused(vqgan_setup):
+    """The production split G/D programs are numerically identical to the
+    fused single-program step, across the disc_start boundary (the split
+    path skips the D dispatch entirely before disc_start)."""
+    vqvae_apply, disc_apply, vq_params, disc_params, disc_stats = vqgan_setup
+    opt_g, opt_d = make_gan_optimizers()
+    kwargs = dict(disc_start=2, donate=False)
+    fused = make_vqgan_train_step(
+        vqvae_apply, disc_apply, opt_g, opt_d, **kwargs)
+    g_step, d_step = make_vqgan_split_steps(
+        vqvae_apply, disc_apply, opt_g, opt_d, **kwargs)
+
+    s_f = _make_state(vq_params, disc_params, disc_stats, opt_g, opt_d)
+    s_s = _make_state(vq_params, disc_params, disc_stats, opt_g, opt_d)
+    images = jax.random.uniform(jax.random.PRNGKey(5), (2, 32, 32, 3))
+
+    for step in range(4):  # steps 0,1 pre-disc; 2,3 post-disc
+        s_f, log_f = fused(s_f, images)
+        s_s, recon, log_s = g_step(s_s, images)
+        if step >= 2:
+            s_s, d_log = d_step(s_s, images, recon)
+            log_s = {**log_s, **d_log}
+        for k in ("loss_total", "nll_loss"):
+            np.testing.assert_allclose(
+                float(log_s[k]), float(log_f[k]), rtol=1e-6)
+
+    for name in ("vqvae_params", "disc_params", "opt_g", "opt_d"):
+        diffs = jax.tree.map(
+            lambda a, b: float(jnp.abs(jnp.asarray(a, jnp.float32)
+                                       - jnp.asarray(b, jnp.float32)).max()),
+            getattr(s_f, name), getattr(s_s, name))
+        leaves = [d for d in jax.tree.leaves(diffs)]
+        assert max(leaves, default=0.0) == 0.0, (name, diffs)
+    assert int(s_f.step) == int(s_s.step) == 4
 
 
 def test_vqgan_loss_decreases(vqgan_setup):

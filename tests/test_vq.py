@@ -32,12 +32,32 @@ def test_reference_lookup_is_nearest():
 def test_pallas_kernel_matches_reference(n, d, k):
     z, cb = _data(jax.random.PRNGKey(1), n, d, k)
     zq_ref, idx_ref = vq_lookup_reference(z, cb)
-    zq, idx, usage = vq_lookup(z, cb, True, True)  # kernel, interpret
+    zq, idx, usage = vq_lookup(z, cb, "fp32", True)  # exact kernel, interpret
     np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx_ref))
     np.testing.assert_allclose(np.asarray(zq), np.asarray(zq_ref), atol=1e-5)
     np.testing.assert_array_equal(
         np.asarray(usage), np.asarray(codebook_usage(idx_ref, k))
     )
+
+
+@pytest.mark.parametrize("n,d,k", [(256, 64, 128)])
+def test_pallas_kernel_bf16_near_optimal(n, d, k):
+    """The fast bf16-MXU kernel must pick codes whose TRUE fp32 distance is
+    within bf16-rounding slack of the optimum (indices may differ from the
+    fp32 argmin only on effective ties)."""
+    z, cb = _data(jax.random.PRNGKey(2), n, d, k)
+    _, idx = vq_lookup_reference(z, cb)
+    _, idx_bf, _ = vq_lookup(z, cb, True, True)  # bf16 kernel, interpret
+
+    zn, cn = np.asarray(z, np.float64), np.asarray(cb, np.float64)
+    dist = ((zn[:, None, :] - cn[None, :, :]) ** 2).sum(-1)
+    d_best = dist[np.arange(n), np.asarray(idx)]
+    d_pick = dist[np.arange(n), np.asarray(idx_bf)]
+    # slack ~ 2 * |2 z·e| * 2^-8 ; normalize by the distance scale
+    slack = 0.04 * (np.abs(zn[:, None] @ cn[np.asarray(idx_bf)][..., None])
+                    .squeeze() + 1.0)
+    assert np.all(d_pick <= d_best + slack)
+    assert np.mean(np.asarray(idx) == np.asarray(idx_bf)) > 0.95
 
 
 def test_usage_histogram():

@@ -3,13 +3,23 @@
 Behavior target: /root/reference/vqgan_ldm_baseline/models/vq_vae.py:18-227
 and quantizer.py:17-149. The quantization itself runs through the fused
 Pallas op (vqgan_tpu.ops.vq); straight-through estimator and the
-codebook/commitment losses are composed here in jnp with gradient semantics
-identical to the reference's autograd graph:
+codebook/commitment losses are composed here in jnp.
 
-  codebook_loss   = mse(z_q, stop_grad(z))   # pulls codebook toward encoder
-  commitment_loss = mse(stop_grad(z_q), z)   # pulls encoder toward codebook
-  vq_loss = codebook_loss + beta * commitment_loss
-  z_q_ste = z + stop_grad(z_q - z)
+Loss-convention note (`loss_convention`): the VQ-VAE paper (and our default,
+"paper") trains the CODEBOOK with the unweighted term and weights the
+encoder's commitment by β:
+
+  vq_loss = mse(z_q, sg(z)) + β · mse(sg(z_q), z)
+
+The reference implementation SWAPS the stop-gradients relative to its own
+comments (quantizer.py:89-95: `codebook_loss = F.mse_loss(z_q.detach(), z)`
+routes gradient to the ENCODER, `commitment_loss = F.mse_loss(z_q,
+z.detach())` to the codebook) — so it effectively weights the codebook
+update by β and the commitment by 1. The forward loss VALUE is identical
+(mse is symmetric); only the gradient routing differs.
+`loss_convention="reference"` replicates that quirk exactly — used by the
+quality-parity harness (cli/quality_parity.py) for apples-to-apples
+trajectory comparison against the installed torch reference.
 """
 
 from __future__ import annotations
@@ -38,6 +48,7 @@ class VectorQuantizer(nn.Module):
     num_embeddings: int
     embedding_dim: int
     commitment_cost: float = 0.25
+    loss_convention: str = "paper"  # "paper" | "reference" (see module doc)
 
     @nn.compact
     def __call__(self, z):
@@ -59,8 +70,13 @@ class VectorQuantizer(nn.Module):
         indices = idx_flat.reshape(b, h, w)
 
         z32 = z.astype(jnp.float32)
-        codebook_loss = jnp.mean((z_q - jax.lax.stop_gradient(z32)) ** 2)
-        commitment_loss = jnp.mean((jax.lax.stop_gradient(z_q) - z32) ** 2)
+        to_codebook = jnp.mean((z_q - jax.lax.stop_gradient(z32)) ** 2)
+        to_encoder = jnp.mean((jax.lax.stop_gradient(z_q) - z32) ** 2)
+        if self.loss_convention == "reference":
+            # reference quantizer.py:89-95: β weights the CODEBOOK term
+            codebook_loss, commitment_loss = to_encoder, to_codebook
+        else:
+            codebook_loss, commitment_loss = to_codebook, to_encoder
         vq_loss = codebook_loss + self.commitment_cost * commitment_loss
 
         z_q_ste = z32 + jax.lax.stop_gradient(z_q - z32)
@@ -99,6 +115,7 @@ class VQVAE(nn.Module):
     embedding_dim: int = 256
     commitment_cost: float = 0.25
     out_channels: int = 3
+    loss_convention: str = "paper"  # see VectorQuantizer
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -126,7 +143,8 @@ class VQVAE(nn.Module):
         else:
             self.pre_quant_conv = self.post_quant_conv = lambda x: x
         self.quantizer = VectorQuantizer(
-            self.num_embeddings, self.embedding_dim, self.commitment_cost
+            self.num_embeddings, self.embedding_dim, self.commitment_cost,
+            loss_convention=self.loss_convention,
         )
 
     def encode(self, x, *, deterministic: bool = True):

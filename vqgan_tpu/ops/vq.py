@@ -68,21 +68,30 @@ def _vq_forward_reference(z: jax.Array, codebook: jax.Array):
 
 
 def _vq_kernel(z_ref, e_ref, idx_ref, usage_ref, *, block_k, k_actual,
-               n_actual, block_n):
-    """One program per z tile: [BN, D] against the full codebook in VMEM."""
+               n_actual, block_n, mxu_bf16):
+    """One program per z tile: [BN, D] against the full codebook in VMEM.
+
+    mxu_bf16: run the cross-term matmul with bf16 inputs (fp32 accumulate) —
+    one MXU pass instead of the 3-pass fp32 emulation, and the same effective
+    precision XLA uses for fp32 dots at its DEFAULT matmul precision. ‖z‖²
+    and ‖e‖² stay fp32 (exact); only near-ties closer than the bf16 rounding
+    of the cross term can pick a different (equally-near) code.
+    """
     z = z_ref[:].astype(jnp.float32)  # [BN, D]
     bn = z.shape[0]
     k_padded = e_ref.shape[0]
     num_kb = k_padded // block_k
 
     z_sq = jnp.sum(z * z, axis=1, keepdims=True)  # [BN, 1]
+    z_mxu = z.astype(jnp.bfloat16) if mxu_bf16 else z
 
     def find_body(i, carry):
         best_d, best_i = carry
         e = e_ref[pl.ds(i * block_k, block_k), :].astype(jnp.float32)
         e_sq = jnp.sum(e * e, axis=1)[None, :]  # [1, BK]
+        e_mxu = e.astype(jnp.bfloat16) if mxu_bf16 else e
         cross = jax.lax.dot_general(
-            z, e, (((1,), (1,)), ((), ())),
+            z_mxu, e_mxu, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [BN, BK]
         dist = z_sq + e_sq - 2.0 * cross
@@ -152,6 +161,7 @@ def _vq_forward_pallas(
     block_n: int = 1024,
     block_k: int = 512,
     interpret: bool = False,
+    mxu_bf16: bool = True,
 ):
     n, d = z.shape
     k = codebook.shape[0]
@@ -168,7 +178,8 @@ def _vq_forward_pallas(
 
     grid = (n_pad // block_n,)
     kernel = functools.partial(
-        _vq_kernel, block_k=block_k, k_actual=k, n_actual=n, block_n=block_n
+        _vq_kernel, block_k=block_k, k_actual=k, n_actual=n, block_n=block_n,
+        mxu_bf16=mxu_bf16,
     )
     idx, usage = pl.pallas_call(
         kernel,
@@ -214,6 +225,9 @@ def vq_lookup(z, codebook, use_kernel: str | bool = "auto",
               interpret: bool = False):
     """Nearest-codebook lookup. z: [N, D], codebook: [K, D].
 
+    use_kernel: "auto" (env-dispatched), True (Pallas, bf16 MXU cross-term —
+    the fast path), "fp32" (Pallas, exact fp32 distances), False (XLA).
+
     Returns (z_q [N, D], indices [N] int32, usage [K] int32).
     z_q carries gradient to `codebook` only (scatter-add); compose the
     straight-through estimator outside.
@@ -234,7 +248,8 @@ def _dispatch(z, codebook, use_kernel, interpret):
         # set VQGAN_TPU_VQ_KERNEL=1 or pass use_kernel=True.
         use_kernel = os.environ.get("VQGAN_TPU_VQ_KERNEL") == "1"
     if use_kernel:
-        return _vq_forward_pallas(z, codebook, interpret=interpret)
+        return _vq_forward_pallas(z, codebook, interpret=interpret,
+                                  mxu_bf16=(use_kernel != "fp32"))
     z_q, idx = _vq_forward_reference(z, codebook)
     usage = codebook_usage(idx, codebook.shape[0])
     return z_q, idx, usage

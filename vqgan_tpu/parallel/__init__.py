@@ -1,3 +1,9 @@
+from .init import (
+    barrier,
+    initialize_distributed,
+    make_global_array,
+    process_local_batch_size,
+)
 from .mesh import (
     data_sharding,
     is_main_process,
@@ -7,3 +13,4 @@ from .mesh import (
     replicated,
     shard_batch,
 )
+from .tp import apply_tp_sharding, tp_spec_for_path

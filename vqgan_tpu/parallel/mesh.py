@@ -65,9 +65,15 @@ def make_mesh_for_batch(batch_size: int, model: int = 1,
     return make_mesh(data=data, model=model, devices=devices[: data * model])
 
 
-def data_sharding(mesh: Mesh, ndim: int = None) -> NamedSharding:
-    """Shard leading (batch) dim over 'data', replicate the rest."""
-    return NamedSharding(mesh, P("data"))
+def data_sharding(mesh: Mesh, ndim: Optional[int] = None) -> NamedSharding:
+    """Shard leading (batch) dim over 'data', replicate the rest. When
+    `ndim` is given the PartitionSpec is written out to full rank — some
+    call sites (e.g. `jit` in_shardings on rank-polymorphic helpers) want
+    the explicit form."""
+    if ndim is None:
+        return NamedSharding(mesh, P("data"))
+    assert ndim >= 1, "batch sharding needs at least a batch dimension"
+    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -81,9 +87,21 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:
-    """Fully replicate a pytree (params, optimizer state) over the mesh."""
+    """Fully replicate a pytree (params, optimizer state) over the mesh.
+
+    Multi-process: every process must hold the same host values (true for
+    seeded init / restored checkpoints); each contributes its addressable
+    shards of the global array."""
     sharding = NamedSharding(mesh, P())
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+    def put(x):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, sharding,
+                                            lambda idx: x[idx])
+
+    return jax.tree.map(put, tree)
 
 
 def is_main_process() -> bool:

@@ -29,7 +29,12 @@ from ..losses.gan import (
     generator_loss,
 )
 
-__all__ = ["VQGANTrainState", "make_vqgan_train_step", "make_gan_optimizers"]
+__all__ = [
+    "VQGANTrainState",
+    "make_vqgan_train_step",
+    "make_vqgan_split_steps",
+    "make_gan_optimizers",
+]
 
 
 class VQGANTrainState(flax.struct.PyTreeNode):
@@ -65,38 +70,33 @@ def make_gan_optimizers(
     return chain(learning_rate), chain(disc_learning_rate)
 
 
-def make_vqgan_train_step(
+def _make_phases(
     vqvae_apply: Callable,
     disc_apply: Callable,
     opt_g: optax.GradientTransformation,
     opt_d: optax.GradientTransformation,
     *,
-    disc_start: int = 10000,
-    disc_weight: float = 0.1,
-    perceptual_weight: float = 1.0,
-    disc_loss_type: str = "hinge",
-    perceptual_fn: Optional[Callable] = None,
-    use_adaptive_weight: bool = False,
-    last_layer_path: Tuple[str, ...] = ("params", "decoder", "conv_out",
-                                        "kernel"),
-    donate: bool = True,
-    fast_compile: bool = False,
+    disc_start: int,
+    disc_weight: float,
+    perceptual_weight: float,
+    disc_loss_type: str,
+    perceptual_fn: Optional[Callable],
+    use_adaptive_weight: bool,
+    last_layer_path: Tuple[str, ...],
 ):
-    """Build the fused G+D train step.
-
-    vqvae_apply(params, images) -> (recon, loss_dict, indices)
-    disc_apply(params, stats, images, train) -> (logits, new_stats)
-    """
+    """The G and D update phases, shared between the fused single-program
+    step and the split two-program step (which the trainer and bench use —
+    same math, two smaller XLA programs that compile minutes not hours on
+    this environment's remote TPU compiler)."""
 
     def _get_leaf(tree, path):
         for p in path:
             tree = tree[p]
         return tree
 
-    def train_step(state: VQGANTrainState, images: jax.Array):
+    def g_phase(state: VQGANTrainState, images: jax.Array):
         disc_active = state.step >= disc_start
 
-        # ---------------- generator phase ----------------
         def g_loss_fn(vq_params):
             recon, loss_dict, indices = vqvae_apply(vq_params, images)
             logits_fake, _ = disc_apply(
@@ -142,8 +142,12 @@ def make_vqgan_train_step(
         g_updates, new_opt_g = opt_g.update(
             g_grads, state.opt_g, state.vqvae_params)
         new_vq_params = optax.apply_updates(state.vqvae_params, g_updates)
+        return new_vq_params, new_opt_g, recon, g_log, disc_active
 
-        # ---------------- discriminator phase ----------------
+    def d_phase(state: VQGANTrainState, images: jax.Array,
+                recon: jax.Array, disc_active):
+        """Unmasked D update on detached reconstructions (the caller decides
+        whether/how to gate on disc_start)."""
         recon_sg = jax.lax.stop_gradient(recon)
 
         def d_loss_fn(d_params):
@@ -158,34 +162,135 @@ def make_vqgan_train_step(
 
         (d_total, (d_log, new_stats)), d_grads = jax.value_and_grad(
             d_loss_fn, has_aux=True)(state.disc_params)
-
-        # freeze D (params, opt state, BN stats) until disc_start — masked
-        # update keeps everything in one compiled program
-        d_updates, opt_d_candidate = opt_d.update(
+        d_updates, new_opt_d = opt_d.update(
             d_grads, state.opt_d, state.disc_params)
-        select = lambda new, old: jax.tree.map(
-            lambda n, o: jnp.where(disc_active, n, o), new, old)
-        new_disc_params = select(
-            optax.apply_updates(state.disc_params, d_updates),
-            state.disc_params)
-        new_opt_d = select(opt_d_candidate, state.opt_d)
-        new_disc_stats = select(new_stats, state.disc_stats)
+        new_disc_params = optax.apply_updates(state.disc_params, d_updates)
+        return new_disc_params, new_stats, new_opt_d, d_log
 
-        new_state = state.replace(
-            step=state.step + 1,
-            vqvae_params=new_vq_params,
-            disc_params=new_disc_params,
-            disc_stats=new_disc_stats,
-            opt_g=new_opt_g,
-            opt_d=new_opt_d,
-        )
-        return new_state, {**g_log, **d_log}
+    return g_phase, d_phase
 
+
+def _compile_options(fast_compile: bool):
     # fast_compile: this environment's TPU compiler spends 10x+ longer in
     # exec-time optimization search on big conv backward graphs (measured
     # 742s → 68s on the LPIPS grad alone); dialing the effort down trades a
     # few % step time for minute-scale compiles.
-    options = (
-        {"exec_time_optimization_effort": -1.0} if fast_compile else None)
+    return {"exec_time_optimization_effort": -1.0} if fast_compile else None
+
+
+def make_vqgan_train_step(
+    vqvae_apply: Callable,
+    disc_apply: Callable,
+    opt_g: optax.GradientTransformation,
+    opt_d: optax.GradientTransformation,
+    *,
+    disc_start: int = 10000,
+    disc_weight: float = 0.1,
+    perceptual_weight: float = 1.0,
+    disc_loss_type: str = "hinge",
+    perceptual_fn: Optional[Callable] = None,
+    use_adaptive_weight: bool = False,
+    last_layer_path: Tuple[str, ...] = ("params", "decoder", "conv_out",
+                                        "kernel"),
+    donate: bool = True,
+    fast_compile: bool = False,
+):
+    """Build the fused G+D train step (ONE compiled program; the disc_start
+    gate is a traced predicate feeding masked updates).
+
+    vqvae_apply(params, images) -> (recon, loss_dict, indices)
+    disc_apply(params, stats, images, train) -> (logits, new_stats)
+    """
+    g_phase, d_phase = _make_phases(
+        vqvae_apply, disc_apply, opt_g, opt_d,
+        disc_start=disc_start, disc_weight=disc_weight,
+        perceptual_weight=perceptual_weight, disc_loss_type=disc_loss_type,
+        perceptual_fn=perceptual_fn, use_adaptive_weight=use_adaptive_weight,
+        last_layer_path=last_layer_path)
+
+    def train_step(state: VQGANTrainState, images: jax.Array):
+        new_vq_params, new_opt_g, recon, g_log, disc_active = g_phase(
+            state, images)
+        d_params_cand, d_stats_cand, opt_d_cand, d_log = d_phase(
+            state, images, recon, disc_active)
+
+        # freeze D (params, opt state, BN stats) until disc_start — masked
+        # update keeps everything in one compiled program
+        select = lambda new, old: jax.tree.map(
+            lambda n, o: jnp.where(disc_active, n, o), new, old)
+        new_state = state.replace(
+            step=state.step + 1,
+            vqvae_params=new_vq_params,
+            disc_params=select(d_params_cand, state.disc_params),
+            disc_stats=select(d_stats_cand, state.disc_stats),
+            opt_g=new_opt_g,
+            opt_d=select(opt_d_cand, state.opt_d),
+        )
+        return new_state, {**g_log, **d_log}
+
     return jax.jit(train_step, donate_argnums=(0,) if donate else (),
-                   compiler_options=options)
+                   compiler_options=_compile_options(fast_compile))
+
+
+def make_vqgan_split_steps(
+    vqvae_apply: Callable,
+    disc_apply: Callable,
+    opt_g: optax.GradientTransformation,
+    opt_d: optax.GradientTransformation,
+    *,
+    disc_start: int = 10000,
+    disc_weight: float = 0.1,
+    perceptual_weight: float = 1.0,
+    disc_loss_type: str = "hinge",
+    perceptual_fn: Optional[Callable] = None,
+    use_adaptive_weight: bool = False,
+    last_layer_path: Tuple[str, ...] = ("params", "decoder", "conv_out",
+                                        "kernel"),
+    donate: bool = True,
+    fast_compile: bool = False,
+):
+    """Build the split two-program step: `(g_step, d_step)`.
+
+    Same one-step semantics as `make_vqgan_train_step`, but as two XLA
+    programs dispatched back-to-back. This is the trainer's production path:
+    the two smaller backward graphs compile in minutes where the fused
+    program takes hour-scale through this environment's remote TPU compiler,
+    AND the host can skip dispatching `d_step` entirely before `disc_start`
+    (the reference also pays no D compute before then —
+    /root/reference/vqgan_ldm_baseline/train_vqgan.py:274), where the fused
+    step's masked update must compute-and-discard the D pass every step.
+
+        g_step(state, images)        -> (state', recon_sg, g_log)
+        d_step(state, images, recon) -> (state', d_log)
+
+    `g_step` advances `state.step` and updates G; `d_step` updates D and is
+    unmasked — callers gate the dispatch on `step >= disc_start`.
+    """
+    g_phase, d_phase = _make_phases(
+        vqvae_apply, disc_apply, opt_g, opt_d,
+        disc_start=disc_start, disc_weight=disc_weight,
+        perceptual_weight=perceptual_weight, disc_loss_type=disc_loss_type,
+        perceptual_fn=perceptual_fn, use_adaptive_weight=use_adaptive_weight,
+        last_layer_path=last_layer_path)
+
+    def g_step(state: VQGANTrainState, images: jax.Array):
+        new_vq_params, new_opt_g, recon, g_log, _ = g_phase(state, images)
+        new_state = state.replace(
+            step=state.step + 1, vqvae_params=new_vq_params,
+            opt_g=new_opt_g)
+        return new_state, jax.lax.stop_gradient(recon), g_log
+
+    def d_step(state: VQGANTrainState, images: jax.Array, recon: jax.Array):
+        new_disc_params, new_stats, new_opt_d, d_log = d_phase(
+            state, images, recon, disc_active=True)
+        new_state = state.replace(
+            disc_params=new_disc_params, disc_stats=new_stats,
+            opt_d=new_opt_d)
+        return new_state, d_log
+
+    options = _compile_options(fast_compile)
+    donate_g = (0,) if donate else ()
+    return (
+        jax.jit(g_step, donate_argnums=donate_g, compiler_options=options),
+        jax.jit(d_step, donate_argnums=donate_g, compiler_options=options),
+    )

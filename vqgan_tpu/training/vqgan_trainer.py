@@ -5,9 +5,11 @@ data from data_split.json, VQVAE + PatchGAN + LPIPS losses, 30k-step loop
 with codebook-usage monitoring, reconstruction grids + full checkpoints every
 1000 steps, resume from latest.
 
-TPU-native: the whole G+D update is ONE jitted step (training/vqgan_step.py);
-the host loop only feeds prefetched batches and logs. Device-parallel via the
-('data','model') mesh — batch sharded, state replicated.
+TPU-native: the G and D updates are two jitted programs dispatched
+back-to-back (training/vqgan_step.py `make_vqgan_split_steps`; one fused
+program available via step_mode="fused"); the host loop only feeds prefetched
+batches and logs. Device-parallel via the ('data','model') mesh — batch
+sharded, state replicated.
 """
 
 from __future__ import annotations
@@ -31,6 +33,7 @@ from ..parallel import make_mesh_for_batch, replicate, shard_batch
 from .vqgan_step import (
     VQGANTrainState,
     make_gan_optimizers,
+    make_vqgan_split_steps,
     make_vqgan_train_step,
 )
 from .watchdog import TrainingWatchdog
@@ -45,7 +48,9 @@ class VQGANTrainer:
         split_path: Optional[str] = None,
         lpips_params=None,
         use_mesh: bool = True,
+        step_mode: str = "split",
     ):
+        assert step_mode in ("split", "fused"), step_mode
         self.config = config
         cfg = config
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
@@ -97,14 +102,27 @@ class VQGANTrainer:
             betas=cfg.adam_betas, weight_decay=cfg.weight_decay,
             max_grad_norm=cfg.max_grad_norm or None,
         )
-        self.train_step = make_vqgan_train_step(
-            vqvae_apply, disc_apply, self.opt_g, self.opt_d,
+        step_kwargs = dict(
             disc_start=cfg.disc_start, disc_weight=cfg.disc_weight,
             perceptual_weight=cfg.perceptual_weight,
             disc_loss_type=cfg.disc_loss_type,
             perceptual_fn=perceptual_loss_fn(lpips_params, self.lpips),
             use_adaptive_weight=cfg.use_adaptive_weight,
         )
+        # "split" (default): two back-to-back programs — the production
+        # path. Compiles minutes-not-hours on this environment's remote TPU
+        # compiler and skips D compute entirely before disc_start (the
+        # reference also dispatches no D work before then,
+        # train_vqgan.py:274). "fused": one program, masked D update.
+        self.step_mode = step_mode
+        if step_mode == "fused":
+            self.train_step = make_vqgan_train_step(
+                vqvae_apply, disc_apply, self.opt_g, self.opt_d,
+                **step_kwargs)
+        else:
+            self.g_step, self.d_step = make_vqgan_split_steps(
+                vqvae_apply, disc_apply, self.opt_g, self.opt_d,
+                **step_kwargs)
 
         self.state = VQGANTrainState(
             step=jnp.asarray(0), vqvae_params=vq_params,
@@ -142,6 +160,18 @@ class VQGANTrainer:
             return shard_batch(batch, self.mesh)
         return batch
 
+    def dispatch_step(self, state, images, step: int):
+        """Dispatch one full training step (G update, plus D update when
+        `step >= disc_start`). This is the exact code path `bench.py` times —
+        bench and product are the same programs."""
+        if self.step_mode == "fused":
+            return self.train_step(state, images)
+        state, recon, log = self.g_step(state, images)
+        if step >= self.config.disc_start:
+            state, d_log = self.d_step(state, images, recon)
+            log = {**log, **d_log}
+        return state, log
+
     def train(self, num_steps: Optional[int] = None, log_every: int = 50):
         cfg = self.config
         num_steps = num_steps or cfg.train_steps
@@ -153,8 +183,8 @@ class VQGANTrainer:
         pending = None  # (step, device scalar) — one-step-delayed NaN check
         for step in range(start, num_steps):
             images, _ = next(it)
-            self.state, log = self.train_step(
-                self.state, self._put(jnp.asarray(images)))
+            self.state, log = self.dispatch_step(
+                self.state, self._put(jnp.asarray(images)), step)
 
             # Per-step health check, pipelined one step behind (see
             # ldm_trainer.train): the reference checks every step

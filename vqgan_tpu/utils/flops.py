@@ -1,0 +1,88 @@
+"""FLOP accounting and MFU (model-FLOPs-utilization) reporting.
+
+The reference publishes no performance numbers (SURVEY.md §6), so "fast"
+must be demonstrated, not asserted: every benchmark reports the FLOPs of the
+exact compiled program it times (from XLA's own cost analysis) alongside the
+achieved TFLOP/s and the fraction of the chip's peak that represents.
+
+Using XLA cost analysis counts the FLOPs of the program as compiled
+(including rematerialization), so the reported number is strictly an HFU
+(hardware-FLOPs utilization); for programs without remat it equals MFU.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+
+__all__ = ["peak_tflops", "compiled_flops", "mfu", "flops_report"]
+
+# bf16 dense peak per chip, TFLOP/s (public Google Cloud TPU specs).
+_PEAK_BF16_TFLOPS = {
+    "TPU v4": 275.0,
+    "TPU v5 lite": 197.0,   # v5e
+    "TPU v5e": 197.0,
+    "TPU v5": 197.0,
+    "TPU v5p": 459.0,
+    "TPU v6 lite": 918.0,   # v6e / Trillium
+    "TPU v6e": 918.0,
+    "TPU v7": 2307.0,       # Ironwood (fp8 4614; bf16 half)
+}
+
+
+def peak_tflops(device=None) -> Optional[float]:
+    """Peak bf16 TFLOP/s of the given (default: first) device, or None when
+    unknown (e.g. the CPU test platform)."""
+    device = device if device is not None else jax.devices()[0]
+    kind = getattr(device, "device_kind", "")
+    for name, peak in _PEAK_BF16_TFLOPS.items():
+        if kind.startswith(name):
+            return peak
+    return None
+
+
+def compiled_flops(compiled) -> Optional[float]:
+    """Total FLOPs of a compiled executable per XLA's cost analysis.
+
+    Accepts the object returned by `jitted.lower(*args).compile()`. Returns
+    None when the backend does not expose cost analysis.
+    """
+    try:
+        ca = compiled.cost_analysis()
+    except Exception:
+        return None
+    if ca is None:
+        return None
+    if isinstance(ca, (list, tuple)):  # older jax returned [dict]
+        ca = ca[0] if ca else {}
+    flops = ca.get("flops")
+    return float(flops) if flops and flops > 0 else None
+
+
+def jit_flops(jitted, *args, **kwargs) -> Optional[float]:
+    """FLOPs of `jitted(*args, **kwargs)` (triggers a compile if uncached)."""
+    try:
+        return compiled_flops(jitted.lower(*args, **kwargs).compile())
+    except Exception:
+        return None
+
+
+def mfu(flops_per_step: Optional[float], step_time_s: float,
+        device=None) -> Optional[float]:
+    """Fraction of chip peak achieved: (flops/step ÷ time) ÷ peak."""
+    peak = peak_tflops(device)
+    if flops_per_step is None or peak is None or step_time_s <= 0:
+        return None
+    return (flops_per_step / step_time_s) / (peak * 1e12)
+
+
+def flops_report(flops_per_step: Optional[float],
+                 step_time_s: float, device=None) -> dict:
+    """The three driver-facing numbers: FLOPs/step, achieved TFLOP/s, MFU."""
+    out = {"flops_per_step": flops_per_step}
+    if flops_per_step is not None and step_time_s > 0:
+        out["tflops_per_sec"] = round(flops_per_step / step_time_s / 1e12, 2)
+    u = mfu(flops_per_step, step_time_s, device)
+    out["mfu"] = round(u, 4) if u is not None else None
+    return out
