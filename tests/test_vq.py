@@ -60,6 +60,21 @@ def test_pallas_kernel_bf16_near_optimal(n, d, k):
     assert np.mean(np.asarray(idx) == np.asarray(idx_bf)) > 0.95
 
 
+def test_fused_usage_histogram_matches_scatter():
+    """fuse_usage=True computes the histogram inside the kernel (tiled
+    one-hot accumulation across grid programs, padded rows excluded) and
+    must agree with the XLA scatter-add default."""
+    from vqgan_tpu.ops.vq import _vq_forward_pallas
+
+    z, cb = _data(jax.random.PRNGKey(5), n=257, d=32, k=100)
+    _, idx, usage = _vq_forward_pallas(
+        z, cb, block_n=128, block_k=64, interpret=True,
+        mxu_bf16=False, fuse_usage=True)
+    np.testing.assert_array_equal(
+        np.asarray(usage), np.asarray(codebook_usage(idx, 100)))
+    assert int(jnp.sum(usage)) == 257  # padded z rows not counted
+
+
 def test_usage_histogram():
     idx = jnp.array([0, 0, 2, 5, 5, 5])
     usage = codebook_usage(idx, 8)

@@ -8,8 +8,9 @@ quantizer.py:68-80) with ONE Pallas kernel:
   accumulation,
 - running argmin over codebook tiles (the [N, K] score matrix never
   materializes in HBM; first-occurrence tie-breaking matches torch.argmin),
-- per-tile code-usage histogram fused in (the collapse monitor the reference
-  computes separately via bincount, quantizer.py:134-149).
+- code-usage tracking (the collapse monitor the reference computes
+  separately via bincount, quantizer.py:134-149) — an O(N) XLA scatter-add
+  on the indices by default, or fused into the kernel with fuse_usage=True.
 
 The row gather (z_q = E[idx]) runs OUTSIDE the kernel as an XLA take: it is
 an O(N·D) memory op there, while an in-kernel one-hot matmul would double
@@ -67,51 +68,70 @@ def _vq_forward_reference(z: jax.Array, codebook: jax.Array):
 # ---------------------------------------------------------------------------
 
 
-def _vq_kernel(z_ref, e_ref, idx_ref, usage_ref, *, block_k, k_actual,
-               n_actual, block_n, mxu_bf16):
+def _vq_kernel(z_ref, e_ref, esq_ref, idx_ref, *out_refs, block_k,
+               n_actual, block_n, exact, fuse_usage):
     """One program per z tile: [BN, D] against the full codebook in VMEM.
 
-    mxu_bf16: run the cross-term matmul with bf16 inputs (fp32 accumulate) —
-    one MXU pass instead of the 3-pass fp32 emulation, and the same effective
-    precision XLA uses for fp32 dots at its DEFAULT matmul precision. ‖z‖²
-    and ‖e‖² stay fp32 (exact); only near-ties closer than the bf16 rounding
-    of the cross term can pick a different (equally-near) code.
+    The score matmul runs on the MXU in the input dtype (bf16 on the fast
+    path — one MXU pass with fp32 accumulation, the same effective precision
+    XLA uses for fp32 dots at its DEFAULT matmul precision) and the VPU work
+    is kept to the bare minimum that the argmin actually needs:
+
+    - ‖e‖² is precomputed OUTSIDE (one tiny XLA reduction) instead of being
+      rederived from the codebook by every grid program;
+    - ‖z‖² is omitted on the fast path: it is constant per row, so
+      argmin_k(‖z‖² + ‖e_k‖² − 2z·e_k) == argmin_k(‖e_k‖² − 2z·e_k). The
+      `exact` (fp32) path keeps it so scores round exactly like the jnp
+      reference;
+    - padded codebook rows carry +inf in the precomputed ‖e‖², so no
+      in-kernel padding mask is ever needed;
+    - the usage histogram (N·K one-hot compares on the VPU — comparable cost
+      to the distance matmul itself, since the VPU is ~100× slower per op
+      than the MXU) is opt-in; the wrapper defaults to an XLA scatter-add
+      on the [N] indices instead, which is O(N).
     """
-    z = z_ref[:].astype(jnp.float32)  # [BN, D]
-    bn = z.shape[0]
+    bn = z_ref.shape[0]
     k_padded = e_ref.shape[0]
     num_kb = k_padded // block_k
+    # padded codebook rows need no in-kernel mask: their precomputed ‖e‖²
+    # slot is +inf, so they can never win the argmin
 
-    z_sq = jnp.sum(z * z, axis=1, keepdims=True)  # [BN, 1]
-    z_mxu = z.astype(jnp.bfloat16) if mxu_bf16 else z
+    if exact:
+        z32 = z_ref[:].astype(jnp.float32)
+        z_sq = jnp.sum(z32 * z32, axis=1, keepdims=True)  # [BN, 1]
 
     def find_body(i, carry):
         best_d, best_i = carry
-        e = e_ref[pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        e_sq = jnp.sum(e * e, axis=1)[None, :]  # [1, BK]
-        e_mxu = e.astype(jnp.bfloat16) if mxu_bf16 else e
         cross = jax.lax.dot_general(
-            z_mxu, e_mxu, (((1,), (1,)), ((), ())),
+            z_ref[:], e_ref[pl.ds(i * block_k, block_k), :],
+            (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [BN, BK]
-        dist = z_sq + e_sq - 2.0 * cross
-        # mask padded codebook rows
-        col = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1) + i * block_k
-        dist = jnp.where(col < k_actual, dist, jnp.inf)
+        e_sq = esq_ref[0, pl.ds(i * block_k, block_k)][None, :]
+        if exact:
+            # same association as the jnp reference: (‖z‖² + ‖e‖²) − 2z·e
+            dist = (z_sq + e_sq) - 2.0 * cross
+        else:
+            dist = e_sq - 2.0 * cross
 
         tile_min = jnp.min(dist, axis=1, keepdims=True)
-        tile_arg = jnp.argmin(dist, axis=1).astype(jnp.int32)[:, None] + i * block_k
+        tile_arg = (jnp.argmin(dist, axis=1).astype(jnp.int32)[:, None]
+                    + i * block_k)
         take = tile_min < best_d
         return jnp.where(take, tile_min, best_d), jnp.where(take, tile_arg, best_i)
 
     best_d0 = jnp.full((bn, 1), jnp.inf, jnp.float32)
     best_i0 = jnp.zeros((bn, 1), jnp.int32)
     _, best_i = jax.lax.fori_loop(0, num_kb, find_body, (best_d0, best_i0))
-    idx = best_i[:, 0]
     idx_ref[:] = best_i  # [BN, 1]
+
+    if not fuse_usage:
+        return
 
     # fused usage histogram, accumulated across sequential grid programs,
     # tiled over the codebook axis to keep the one-hot in a [BN, BK] tile
+    (usage_ref,) = out_refs
+    idx = best_i[:, 0]
     pid = pl.program_id(0)
 
     @pl.when(pid == 0)
@@ -135,15 +155,16 @@ def _vq_kernel(z_ref, e_ref, idx_ref, usage_ref, *, block_k, k_actual,
 _VMEM_BUDGET_BYTES = 13 * 1024 * 1024  # leave headroom under the 16M scoped cap
 
 
-def _pick_blocks(n: int, k_pad: int, d: int, block_n: int, block_k: int):
+def _pick_blocks(n: int, k_pad: int, d: int, block_n: int, block_k: int,
+                 in_bytes: int):
     """Shrink (block_n, block_k) until the kernel's VMEM residency fits:
-    full codebook + z/z_q blocks + distance/one-hot tiles + usage row."""
-    codebook_bytes = k_pad * d * 4
+    full codebook + ‖e‖² row + z block + distance/compare tiles."""
+    codebook_bytes = k_pad * d * in_bytes + k_pad * 4
     while True:
         per_program = (
-            block_n * d * 4              # z block
+            block_n * d * in_bytes       # z block
             + 3 * block_n * block_k * 4  # distance / compare / usage tiles
-            + k_pad * 4                  # usage output row
+            + k_pad * 4                  # usage output row (when fused)
         )
         if codebook_bytes + per_program <= _VMEM_BUDGET_BYTES:
             return block_n, block_k
@@ -162,26 +183,51 @@ def _vq_forward_pallas(
     block_k: int = 512,
     interpret: bool = False,
     mxu_bf16: bool = True,
+    fuse_usage: bool = False,
 ):
     n, d = z.shape
     k = codebook.shape[0]
+    in_dtype = jnp.bfloat16 if mxu_bf16 else jnp.float32
 
     block_k = min(block_k, _round_up(k, 128))
     block_n = min(block_n, _round_up(n, 8))
     block_n, block_k = _pick_blocks(
-        n, _round_up(k, block_k), d, block_n, block_k)
+        n, _round_up(k, block_k), d, block_n, block_k,
+        jnp.dtype(in_dtype).itemsize)
     n_pad = _round_up(n, block_n)
     k_pad = _round_up(k, block_k)
 
-    zp = jnp.pad(z, ((0, n_pad - n), (0, 0))) if n_pad != n else z
-    ep = jnp.pad(codebook, ((0, k_pad - k), (0, 0))) if k_pad != k else codebook
+    # ‖e‖² hoisted out of the kernel: one O(K·D) XLA reduction, always fp32
+    # from the fp32 codebook (exact even on the bf16 path). Padded rows get
+    # +inf so they can never win the argmin without an in-kernel mask.
+    e32 = codebook.astype(jnp.float32)
+    e_sq = jnp.sum(e32 * e32, axis=1)[None, :]  # [1, K]
+    if k_pad != k:
+        e_sq = jnp.pad(e_sq, ((0, 0), (0, k_pad - k)),
+                       constant_values=jnp.inf)
+
+    zp = z.astype(in_dtype)
+    ep = codebook.astype(in_dtype)
+    if n_pad != n:
+        zp = jnp.pad(zp, ((0, n_pad - n), (0, 0)))
+    if k_pad != k:
+        ep = jnp.pad(ep, ((0, k_pad - k), (0, 0)))
 
     grid = (n_pad // block_n,)
     kernel = functools.partial(
-        _vq_kernel, block_k=block_k, k_actual=k, n_actual=n, block_n=block_n,
-        mxu_bf16=mxu_bf16,
+        _vq_kernel, block_k=block_k, n_actual=n, block_n=block_n,
+        exact=not mxu_bf16, fuse_usage=fuse_usage,
     )
-    idx, usage = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((block_n, 1), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((n_pad, 1), jnp.int32)]
+    if fuse_usage:
+        out_specs.append(pl.BlockSpec((1, k_pad), lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((1, k_pad), jnp.int32))
+    out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -189,30 +235,28 @@ def _vq_forward_pallas(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((k_pad, d), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((block_n, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, k_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_shape=[
-            jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
-            jax.ShapeDtypeStruct((1, k_pad), jnp.int32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=2 * n_pad * k_pad * d,
             bytes_accessed=(n_pad * d + k_pad * d) * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(zp, ep)
+    )(zp, ep, e_sq)
     # row gather stays outside: XLA's take is a cheap O(N·D) memory op while
     # an in-kernel one-hot matmul would DOUBLE the MXU work (measured 1.7x
     # slower at K=8192)
-    idx = idx[:n, 0]
+    idx = out[0][:n, 0]
     z_q = jnp.take(codebook, idx, axis=0)
-    return z_q, idx, usage[0, :k]
+    if fuse_usage:
+        usage = out[1][0, :k]
+    else:
+        usage = codebook_usage(idx, k)
+    return z_q, idx, usage
 
 
 # ---------------------------------------------------------------------------
