@@ -2,9 +2,11 @@
 """Microbenchmark: fused Pallas VQ lookup vs the XLA dist+argmin+gather path.
 
 The fused kernel's advantage is the single HBM pass (the [N, K] distance
-matrix never materializes); the XLA path wins on compile time when embedded
-in big training graphs (see ops/vq.py). This tool measures the raw-op
-runtime trade on the current device across codebook sizes.
+matrix never materializes — XLA round-trips it through HBM, 536 MB at
+N=K=8192); the XLA path wins on compile time when embedded in big training
+graphs (see the dispatch comment in ops/vq.py for the measured roofline of
+both). This tool measures the raw-op runtime trade on the current device
+across codebook sizes.
 
 Usage: python cli/bench_vq.py [--n 8192] [--k 1024 8192 16384] [--d 256]
 """

@@ -7,7 +7,10 @@ quantizer.py:68-80) with ONE Pallas kernel:
 - distances via ‖z‖² + ‖e‖² − 2·z·Eᵀ with the matmul on the MXU and fp32
   accumulation,
 - running argmin over codebook tiles (the [N, K] score matrix never
-  materializes in HBM; first-occurrence tie-breaking matches torch.argmin),
+  materializes in HBM — that 2×N·K·4-byte round trip is what makes the XLA
+  path HBM-bound; first-occurrence tie-breaking matches torch.argmin). On
+  the fast path the min+argmin collapses into ONE packed int32 reduction
+  (see _vq_kernel),
 - code-usage tracking (the collapse monitor the reference computes
   separately via bincount, quantizer.py:134-149) — an O(N) XLA scatter-add
   on the indices by default, or fused into the kernel with fuse_usage=True.
@@ -96,12 +99,15 @@ def _vq_kernel(z_ref, e_ref, esq_ref, idx_ref, *out_refs, block_k,
     # padded codebook rows need no in-kernel mask: their precomputed ‖e‖²
     # slot is +inf, so they can never win the argmin
 
+    idx_bits = max(1, (k_padded - 1).bit_length())
+    idx_mask = (1 << idx_bits) - 1
+    use_packed = (not exact) and idx_bits <= 16
+
     if exact:
         z32 = z_ref[:].astype(jnp.float32)
         z_sq = jnp.sum(z32 * z32, axis=1, keepdims=True)  # [BN, 1]
 
-    def find_body(i, carry):
-        best_d, best_i = carry
+    def tile_dist(i):
         cross = jax.lax.dot_general(
             z_ref[:], e_ref[pl.ds(i * block_k, block_k), :],
             (((1,), (1,)), ((), ())),
@@ -110,19 +116,46 @@ def _vq_kernel(z_ref, e_ref, esq_ref, idx_ref, *out_refs, block_k,
         e_sq = esq_ref[0, pl.ds(i * block_k, block_k)][None, :]
         if exact:
             # same association as the jnp reference: (‖z‖² + ‖e‖²) − 2z·e
-            dist = (z_sq + e_sq) - 2.0 * cross
-        else:
-            dist = e_sq - 2.0 * cross
+            return (z_sq + e_sq) - 2.0 * cross
+        return e_sq - 2.0 * cross
 
-        tile_min = jnp.min(dist, axis=1, keepdims=True)
-        tile_arg = (jnp.argmin(dist, axis=1).astype(jnp.int32)[:, None]
-                    + i * block_k)
-        take = tile_min < best_d
-        return jnp.where(take, tile_min, best_d), jnp.where(take, tile_arg, best_i)
+    if use_packed:
+        # Packed min+argmin in ONE integer reduction: map each fp32 score to
+        # a monotonic signed int32 (negatives xor 0x7FFFFFFF), truncate the
+        # low idx_bits of its mantissa, and splice the global column index
+        # into those bits. A single jnp.min then yields both the (quantized)
+        # min distance and — in the low bits — the argmin, with ties inside
+        # one quantum broken toward the LOWEST index, matching torch.argmin's
+        # first-occurrence rule. Dropping 13 bits at K=8192 leaves 10
+        # mantissa bits, still finer than the bf16 rounding the fast path's
+        # cross-term already carries. Measured: 744 µs vs 1075 µs for the
+        # min+argmin+two-select formulation at the same blocks (N=K=8192).
+        def find_body(i, best_p):
+            bits = jax.lax.bitcast_convert_type(tile_dist(i), jnp.int32)
+            m = jnp.where(bits < 0, bits ^ jnp.int32(0x7FFFFFFF), bits)
+            col = (jax.lax.broadcasted_iota(jnp.int32, m.shape, 1)
+                   + i * block_k)
+            p = (m & jnp.int32(~idx_mask)) | col
+            return jnp.minimum(best_p, jnp.min(p, axis=1, keepdims=True))
 
-    best_d0 = jnp.full((bn, 1), jnp.inf, jnp.float32)
-    best_i0 = jnp.zeros((bn, 1), jnp.int32)
-    _, best_i = jax.lax.fori_loop(0, num_kb, find_body, (best_d0, best_i0))
+        best_p0 = jnp.full((bn, 1), jnp.iinfo(jnp.int32).max, jnp.int32)
+        best_p = jax.lax.fori_loop(0, num_kb, find_body, best_p0)
+        best_i = best_p & idx_mask
+    else:
+        def find_body(i, carry):
+            best_d, best_i = carry
+            dist = tile_dist(i)
+            tile_min = jnp.min(dist, axis=1, keepdims=True)
+            tile_arg = (jnp.argmin(dist, axis=1).astype(jnp.int32)[:, None]
+                        + i * block_k)
+            take = tile_min < best_d
+            return (jnp.where(take, tile_min, best_d),
+                    jnp.where(take, tile_arg, best_i))
+
+        best_d0 = jnp.full((bn, 1), jnp.inf, jnp.float32)
+        best_i0 = jnp.zeros((bn, 1), jnp.int32)
+        _, best_i = jax.lax.fori_loop(0, num_kb, find_body,
+                                      (best_d0, best_i0))
     idx_ref[:] = best_i  # [BN, 1]
 
     if not fuse_usage:
@@ -152,23 +185,29 @@ def _vq_kernel(z_ref, e_ref, esq_ref, idx_ref, *out_refs, block_k,
     jax.lax.fori_loop(0, num_kb, usage_body, 0)
 
 
-_VMEM_BUDGET_BYTES = 13 * 1024 * 1024  # leave headroom under the 16M scoped cap
+_VMEM_BUDGET_BYTES = 15 * 1024 * 1024  # just under the 16M scoped cap (the
+# estimator below is deliberately tight: the measured-fastest (512, 4096)
+# config at K=8192 sits at ~14.3M estimated)
 
 
 def _pick_blocks(n: int, k_pad: int, d: int, block_n: int, block_k: int,
                  in_bytes: int):
     """Shrink (block_n, block_k) until the kernel's VMEM residency fits:
-    full codebook + ‖e‖² row + z block + distance/compare tiles."""
+    full codebook + ‖e‖² row + z block + the fp32 score tile (the packed /
+    compare tiles reuse its registers — Mosaic fuses the elementwise chain,
+    measured: a [512, 4096] tile compiles at ~1.25× its own bytes)."""
     codebook_bytes = k_pad * d * in_bytes + k_pad * 4
     while True:
         per_program = (
-            block_n * d * in_bytes       # z block
-            + 3 * block_n * block_k * 4  # distance / compare / usage tiles
-            + k_pad * 4                  # usage output row (when fused)
+            block_n * d * in_bytes            # z block
+            + (5 * block_n * block_k * 4) // 4  # score tile × 1.25
+            + k_pad * 4                       # usage output row (when fused)
         )
         if codebook_bytes + per_program <= _VMEM_BUDGET_BYTES:
             return block_n, block_k
-        if block_n > 128:
+        if block_k > 512:
+            block_k //= 2
+        elif block_n > 128:
             block_n //= 2
         elif block_k > 128:
             block_k //= 2
@@ -179,8 +218,8 @@ def _pick_blocks(n: int, k_pad: int, d: int, block_n: int, block_k: int,
 def _vq_forward_pallas(
     z: jax.Array,
     codebook: jax.Array,
-    block_n: int = 1024,
-    block_k: int = 512,
+    block_n: int = 512,
+    block_k: int = 4096,
     interpret: bool = False,
     mxu_bf16: bool = True,
     fuse_usage: bool = False,
@@ -284,12 +323,32 @@ def _dispatch(z, codebook, use_kernel, interpret):
     if use_kernel == "auto":
         import os
 
-        # Default: the fused XLA path. Embedding the Pallas custom call in a
-        # large training graph costs ~6 min of extra compile through this
-        # environment's remote Mosaic pipeline (375s vs 19s measured on the
-        # full VQ-VAE backward); XLA fuses dist+argmin+gather well. The
-        # kernel stays available for encode/serving paths and benchmarking:
-        # set VQGAN_TPU_VQ_KERNEL=1 or pass use_kernel=True.
+        # Dispatch policy, grounded in measured rooflines (v5e, N=8192,
+        # D=256, cli/bench_vq.py + component probes):
+        #
+        #   XLA path:  HBM-bound. The [N, K] fp32 score matrix round-trips
+        #              HBM (2·N·K·4 B = 536 MB at K=8192 ≈ 655 µs at
+        #              819 GB/s); measured 858 µs end-to-end. XLA's bare
+        #              bf16 dot+reduce on the same shape measures 862 µs —
+        #              the argmin itself is fully hidden behind the traffic.
+        #   kernel:    MXU-bound. Scores never leave VMEM; the floor is the
+        #              distance matmul at the short D=256 contraction
+        #              (~640 µs ≈ 27% of bf16 peak — pipeline-fill bound,
+        #              layout-independent: NT vs NN transposed codebook
+        #              measured equal) + ~80 µs packed argmin + take.
+        #              Measured 879 µs end-to-end at K=8192; 586 µs at
+        #              K=1024 (1.27× over XLA) and 977 µs at K=16384
+        #              (1.09×).
+        #
+        # At the reference config (K=8192) the two are a statistical tie —
+        # both sit on their respective rooflines — so the default stays XLA
+        # for big TRAINING graphs: embedding the Pallas custom call there
+        # costs ~6 min of extra compile through this environment's remote
+        # Mosaic pipeline (375 s vs 19 s measured on the full VQ-VAE
+        # backward). The kernel also frees 536 MB/step of HBM bandwidth for
+        # the surrounding layers, which matters when the VQ op runs inside
+        # a bandwidth-starved step; opt in with VQGAN_TPU_VQ_KERNEL=1 or
+        # use_kernel=True (encode/serving paths, small codebooks).
         use_kernel = os.environ.get("VQGAN_TPU_VQ_KERNEL") == "1"
     if use_kernel:
         return _vq_forward_pallas(z, codebook, interpret=interpret,
