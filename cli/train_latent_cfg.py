@@ -23,6 +23,11 @@ def main():
     ap.add_argument("--resume", type=int, default=None)
     ap.add_argument("--baseline", action="store_true",
                     help="ablation baseline config (all optimizations off)")
+    ap.add_argument("--param_sharding", default="replicated",
+                    choices=["replicated", "fsdp", "tp", "fsdp_tp"],
+                    help="parameter layout over the device mesh: replicated"
+                         " (reference-style DP), fsdp (ZeRO-3 over 'data'),"
+                         " tp (attention kernels over 'model'), fsdp_tp (2D)")
     args = ap.parse_args()
 
     from vqgan_tpu.configs import BaselineLDMConfig, LDMConfig
@@ -43,7 +48,8 @@ def main():
     from vqgan_tpu.training.ldm_trainer import LatentDiffusionTrainer
 
     trainer = LatentDiffusionTrainer(
-        config, split_path=args.split, vae_params=vae_params)
+        config, split_path=args.split, vae_params=vae_params,
+        param_sharding=args.param_sharding)
     if args.resume is not None:
         milestone = None if args.resume < 0 else args.resume
         step = trainer.load(milestone)

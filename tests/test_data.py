@@ -93,6 +93,22 @@ def test_image_folder_dataset_and_loader(fake_dataset):
     assert yb.dtype == np.int32
 
 
+def test_batch_loader_propagates_worker_exception():
+    """A dataset error in the producer thread must surface in the consumer
+    (a dead worker used to leave q.get() blocking forever)."""
+
+    class Broken:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            raise FileNotFoundError(f"missing item {i}")
+
+    loader = BatchLoader(Broken(), batch_size=4, seed=0)
+    with pytest.raises(FileNotFoundError, match="missing item"):
+        list(loader)
+
+
 def test_synthetic_dataset(fake_dataset):
     ds = SyntheticDataset(fake_dataset, image_size=16)
     assert len(ds) == 36

@@ -208,17 +208,22 @@ class BatchLoader:
             return False
 
         def producer():
-            while True:
-                order = self._epoch_order()
-                n = len(order)
-                end = n - (n % self.batch_size) if self.drop_last else n
-                for s in range(0, end, self.batch_size):
-                    if not put(self._make_batch(
-                            order[s : s + self.batch_size])):
-                        return
-                if not self.repeat:
-                    break
-            put(None)
+            try:
+                while True:
+                    order = self._epoch_order()
+                    n = len(order)
+                    end = n - (n % self.batch_size) if self.drop_last else n
+                    for s in range(0, end, self.batch_size):
+                        if not put(self._make_batch(
+                                order[s : s + self.batch_size])):
+                            return
+                    if not self.repeat:
+                        break
+                put(None)
+            except BaseException as ex:  # pragma: no cover - re-raised below
+                # a dataset error must reach the consumer, not silently kill
+                # the worker (q.get() would then block forever)
+                put(ex)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -227,6 +232,8 @@ class BatchLoader:
                 item = q.get()
                 if item is None:
                     break
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()

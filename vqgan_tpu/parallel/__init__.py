@@ -13,5 +13,11 @@ from .mesh import (
     replicated,
     shard_batch,
 )
-from .fsdp import apply_fsdp_sharding, compose_fsdp_with_tp, fsdp_spec_for
+from .fsdp import (
+    apply_fsdp_sharding,
+    compose_fsdp_with_tp,
+    fsdp_spec_for,
+    place_state,
+    sharding_spec_for,
+)
 from .tp import apply_tp_sharding, tp_spec_for_path

@@ -83,23 +83,58 @@ def apply_fsdp_sharding(params: Any, mesh: Mesh, axis: str = "data",
     return jax.tree.map(place, params)
 
 
+def sharding_spec_for(path, leaf, mesh: Mesh, mode: str,
+                      min_size: int = _DEFAULT_MIN_SIZE) -> P:
+    """Unified spec rule for a state leaf under a parameter-sharding policy.
+
+    mode: 'replicated' | 'fsdp' | 'tp' | 'fsdp_tp'. Path-based TP rules
+    apply equally to optimizer moments and EMA copies because optax/EMA
+    trees mirror the param tree (the kernel names appear in their paths).
+    """
+    from .tp import tp_spec_for_path
+
+    spec = tp_spec_for_path(path, leaf) if "tp" in mode else P()
+    if "fsdp" not in mode:
+        return spec
+    taken = tuple(i for i, s in enumerate(spec) if s is not None)
+    fs = fsdp_spec_for(leaf, mesh, "data", min_size, taken=taken)
+    merged = [
+        tp if tp is not None else f
+        for tp, f in zip(
+            tuple(spec) + (None,) * (leaf.ndim - len(spec)),
+            tuple(fs) + (None,) * (leaf.ndim - len(fs)),
+        )
+    ]
+    return P(*merged)
+
+
 def compose_fsdp_with_tp(params: Any, mesh: Mesh,
                          min_size: int = _DEFAULT_MIN_SIZE) -> Any:
     """TP shardings on attention kernels (over 'model') PLUS FSDP sharding
     of a remaining axis (over 'data') — 2D parameter sharding."""
-    from .tp import tp_spec_for_path
 
     def place(path, leaf):
-        tp_spec = tp_spec_for_path(path, leaf)
-        taken = tuple(i for i, s in enumerate(tp_spec) if s is not None)
-        fs = fsdp_spec_for(leaf, mesh, "data", min_size, taken=taken)
-        merged = [
-            tp if tp is not None else f
-            for tp, f in zip(
-                tuple(tp_spec) + (None,) * (leaf.ndim - len(tp_spec)),
-                tuple(fs) + (None,) * (leaf.ndim - len(fs)),
-            )
-        ]
-        return jax.device_put(leaf, NamedSharding(mesh, P(*merged)))
+        spec = sharding_spec_for(path, leaf, mesh, "fsdp_tp", min_size)
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(place, params)
+
+
+def place_state(state: Any, mesh: Mesh, mode: str,
+                min_size: int = _DEFAULT_MIN_SIZE) -> Any:
+    """Place a whole train state (params + optimizer moments + EMA +
+    scalars) under a parameter-sharding policy. Scalars and small leaves
+    replicate; everything else follows `sharding_spec_for`.
+
+    Single-process placement (device_put). For multi-host replicated
+    placement use mesh.replicate, which builds global arrays from
+    process-local shards."""
+
+    def place(path, leaf):
+        import jax.numpy as jnp
+
+        leaf = jnp.asarray(leaf) if not hasattr(leaf, "ndim") else leaf
+        spec = sharding_spec_for(path, leaf, mesh, mode, min_size)
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, state)

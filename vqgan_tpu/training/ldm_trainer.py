@@ -86,7 +86,13 @@ class LatentDiffusionTrainer:
         vae_params=None,
         vae_model: Optional[KLVAE] = None,
         use_mesh: bool = True,
+        param_sharding: str = "replicated",
+        fsdp_min_size: Optional[int] = None,
     ):
+        assert param_sharding in ("replicated", "fsdp", "tp", "fsdp_tp"), \
+            param_sharding
+        self.param_sharding = param_sharding
+        self.fsdp_min_size = fsdp_min_size
         self.config = cfg = config
         self.model, self.diffusion = build_cfg_unet_diffusion(cfg)
 
@@ -122,10 +128,13 @@ class LatentDiffusionTrainer:
             ema_params=jax.tree.map(jnp.copy, params),
         )
 
-        self.mesh = (make_mesh_for_batch(cfg.train_batch_size)
-                     if use_mesh else None)
+        self.mesh = (make_mesh_for_batch(
+            cfg.train_batch_size,
+            model=2 if "tp" in param_sharding and
+            len(jax.devices()) % 2 == 0 else 1)
+            if use_mesh else None)
         if self.mesh is not None:
-            self.state = replicate(self.state, self.mesh)
+            self.state = self._place(self.state)
 
         # frozen VAE decoder for visualization (optional)
         self.vae = None
@@ -268,9 +277,23 @@ class LatentDiffusionTrainer:
         Image.fromarray((np.clip(grid, 0, 1) * 255).astype(np.uint8)).save(
             out / f"sample-{milestone}.png")
 
+    def _place(self, state):
+        """Place the train state on the mesh per the param_sharding policy:
+        'replicated' (reference-style DP), 'fsdp' (ZeRO-3 over 'data'),
+        'tp' (attention kernels over 'model'), or 'fsdp_tp' (2D). The same
+        rule covers init and checkpoint-restore so resumed runs keep their
+        layout."""
+        if self.param_sharding == "replicated":
+            return replicate(state, self.mesh)
+        from ..parallel import place_state
+        from ..parallel.fsdp import _DEFAULT_MIN_SIZE
+
+        return place_state(state, self.mesh, self.param_sharding,
+                           min_size=self.fsdp_min_size or _DEFAULT_MIN_SIZE)
+
     def load(self, milestone: Optional[int] = None):
         target = jax.device_get(self.state)
         restored = self.ckpt.restore(milestone, target=target)
-        self.state = (replicate(restored, self.mesh)
+        self.state = (self._place(restored)
                       if self.mesh is not None else restored)
         return int(jax.device_get(self.state.step))
