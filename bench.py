@@ -230,6 +230,15 @@ def cpu_baseline() -> float:
             return json.loads(CACHE.read_text())["cpu_ips"]
         except Exception:
             pass
+    # committed anchor: the CPU host is fixed, so the round-1 measured CPU
+    # throughput of the identical step is a stable constant; re-measuring
+    # costs ~35 min on this 1-core host (0.0116 img/s × 3 steps × batch 8)
+    anchor = REPO / "results" / "cpu_baseline.json"
+    if anchor.exists():
+        try:
+            return json.loads(anchor.read_text())["cpu_ips"]
+        except Exception:
+            pass
     # NOTE: this environment pins the axon TPU backend at interpreter start;
     # selecting CPU requires the live-config switch, not env vars.
     code = (
