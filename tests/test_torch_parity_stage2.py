@@ -348,3 +348,121 @@ def test_edm_preconditioned_forward_parity():
     np.testing.assert_allclose(
         np.asarray(jdiff.loss_weight(sig)),
         tdiff.loss_weight(torch.tensor([0.1, 1.0, 10.0])).numpy(), rtol=1e-5)
+
+
+def test_p_losses_gradient_parity_via_sgd_step(ref_cfg_mod, unet_pair):
+    """THE missing fidelity link beyond loss parity: ∂p_losses/∂θ must match
+    torch autograd. One SGD step makes the update linear in the gradient
+    (w' = w − lr·g), so comparing the updated weight trees — re-imported
+    through the same shim — compares every gradient entry without a manual
+    name mapping. (An Adam first step would normalize magnitudes away.)"""
+    import copy
+
+    import torch
+
+    from vqgan_tpu.checkpoint.torch_import import load_torch_cfg_unet
+
+    tdiff, jdiff, params = _make_diffusions(ref_cfg_mod, unet_pair)
+    tnet = copy.deepcopy(tdiff.model)  # do not mutate the shared fixture
+    tdiff = ref_cfg_mod.GaussianDiffusion(
+        tnet, image_size=SIZE, timesteps=T_STEPS, sampling_timesteps=5,
+        objective="pred_v", beta_schedule="cosine", ddim_sampling_eta=0.0,
+        min_snr_loss_weight=True, min_snr_gamma=5, auto_normalize=False)
+    tdiff.eval()  # no dropout layers active; matches the fixture's setup
+    x, t, classes = _inputs(seed=8)
+    noise = np.random.RandomState(9).randn(*x.shape).astype(np.float32)
+    lr = 1e-2
+
+    opt = torch.optim.SGD(tnet.parameters(), lr=lr)
+    loss_t = tdiff.p_losses(
+        _nchw(x), torch.from_numpy(t), classes=torch.from_numpy(classes),
+        noise=_nchw(noise))
+    opt.zero_grad()
+    loss_t.backward()
+    opt.step()
+    params_t_after = load_torch_cfg_unet(tnet.state_dict())
+
+    def loss_fn(p):
+        return jdiff.p_losses(
+            p, jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(t),
+            jnp.asarray(classes), noise=jnp.asarray(noise),
+            cond_drop_prob=0.0)
+
+    grads = jax.grad(loss_fn)(params)
+    params_j_after = jax.tree.map(lambda w, g: w - lr * g, params, grads)
+
+    flat_t = jax.tree_util.tree_leaves_with_path(params_t_after)
+    flat_j = dict(jax.tree_util.tree_leaves_with_path(params_j_after))
+    assert len(flat_t) == len(flat_j)
+    checked = 0
+    for path, leaf_t in flat_t:
+        leaf_j = np.asarray(flat_j[path])
+        np.testing.assert_allclose(
+            leaf_j, np.asarray(leaf_t), atol=2e-5,
+            err_msg=jax.tree_util.keystr(path))
+        checked += 1
+    assert checked > 50  # the full tree, not a token sample
+
+
+def test_adam_training_trajectory_parity(ref_cfg_mod, unet_pair):
+    """Three full Adam steps with identical (data, t, noise) per step: the
+    weight trajectories must track — proves torch.optim.Adam ≡ the optax
+    chain for this model beyond a single gradient."""
+    import copy
+
+    import torch
+
+    from vqgan_tpu.checkpoint.torch_import import load_torch_cfg_unet
+
+    tdiff0, jdiff, params = _make_diffusions(ref_cfg_mod, unet_pair)
+    tnet = copy.deepcopy(tdiff0.model)
+    tdiff = ref_cfg_mod.GaussianDiffusion(
+        tnet, image_size=SIZE, timesteps=T_STEPS, sampling_timesteps=5,
+        objective="pred_v", beta_schedule="cosine", ddim_sampling_eta=0.0,
+        min_snr_loss_weight=True, min_snr_gamma=5, auto_normalize=False)
+    tdiff.eval()
+    lr, betas, eps = 1e-3, (0.9, 0.99), 1e-8
+
+    import optax
+
+    opt_t = torch.optim.Adam(tnet.parameters(), lr=lr, betas=betas, eps=eps)
+    tx = optax.adam(lr, b1=betas[0], b2=betas[1], eps=eps)
+    opt_state = tx.init(params)
+
+    losses_t, losses_j = [], []
+    for step in range(3):
+        x, t, classes = _inputs(seed=20 + step)
+        noise = np.random.RandomState(30 + step).randn(*x.shape)
+        noise = noise.astype(np.float32)
+
+        loss = tdiff.p_losses(
+            _nchw(x), torch.from_numpy(t), classes=torch.from_numpy(classes),
+            noise=_nchw(noise))
+        opt_t.zero_grad()
+        loss.backward()
+        opt_t.step()
+        losses_t.append(loss.item())
+
+        def loss_fn(p, x=x, t=t, classes=classes, noise=noise):
+            return jdiff.p_losses(
+                p, jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(t),
+                jnp.asarray(classes), noise=jnp.asarray(noise),
+                cond_drop_prob=0.0)
+
+        loss_j, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        losses_j.append(float(loss_j))
+
+    np.testing.assert_allclose(losses_j, losses_t, rtol=2e-4, atol=1e-5)
+    # Weight tolerance: Adam's early steps normalize each update to ≈ ±lr
+    # (m̂/√v̂ ≈ sign(g) while moments warm up), so an fp32-noise-level
+    # gradient difference near g≈0 can flip a coordinate's update by 2·lr.
+    # A few lr of atol checks the trajectory without chasing that noise;
+    # exact gradient equality is covered by the SGD-step test above.
+    params_t_after = load_torch_cfg_unet(tnet.state_dict())
+    flat_j = dict(jax.tree_util.tree_leaves_with_path(params))
+    for path, leaf_t in jax.tree_util.tree_leaves_with_path(params_t_after):
+        np.testing.assert_allclose(
+            np.asarray(flat_j[path]), np.asarray(leaf_t), atol=4e-3,
+            err_msg=jax.tree_util.keystr(path))
