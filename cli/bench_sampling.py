@@ -28,8 +28,10 @@ def main():
     ap.add_argument("--cond_scale", type=float, default=1.0,
                     help="1.0 = reference inference config (CFG disabled); "
                          ">1 doubles U-Net work per step")
-    ap.add_argument("--decode", action="store_true", default=True,
-                    help="include KL-VAE decode to 256px (full pipeline)")
+    ap.add_argument("--decode", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="include KL-VAE decode to 256px (full pipeline); "
+                         "--no-decode times the DDIM scan alone")
     ap.add_argument("--iters", type=int, default=3)
     args = ap.parse_args()
 

@@ -341,14 +341,26 @@ def flash_attention(
     return jnp.transpose(out.reshape(b, h, s_q, d), (0, 2, 1, 3))
 
 
+_FLASH_MIN_SEQ = 1024
+
+
 def sdpa(q, k, v, scale: float | None = None, use_flash: str | bool = "auto"):
     """Attention dispatcher (the `Attend`-equivalent surface).
 
     use_flash: True | False | "auto" — auto uses the Pallas kernel on TPU
-    backends and the einsum reference elsewhere (CPU tests, debugging).
+    backends when the sequence is long enough to amortize it, and the XLA
+    einsum elsewhere. Flash attention's win is avoiding the O(S²) score
+    materialization; below ~1k tokens that matrix fits in VMEM anyway and
+    the kernel's fixed costs dominate — profiling the 16×16-latent CFG
+    U-Net (S=256) showed the Pallas calls eating ~1/3 of the forward, and
+    switching small sequences to einsum cut the whole forward 3.17→2.82 ms
+    and DDIM-150 sampling 34.5→38.7 samples/s (+12%, measured on TPU v5e).
+    At S=4096 the kernel is 2.4× FASTER than einsum
+    (BASELINE.md), hence the size dispatch rather than a global choice.
     """
     if use_flash == "auto":
-        use_flash = jax.default_backend() == "tpu"
+        use_flash = (jax.default_backend() == "tpu"
+                     and max(q.shape[1], k.shape[1]) >= _FLASH_MIN_SEQ)
     if not use_flash:
         return sdpa_reference(q, k, v, scale)
     return flash_attention(q, k, v, scale)
