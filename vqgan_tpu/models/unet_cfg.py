@@ -8,7 +8,9 @@ conditioned on time+class, per-resolution LinearAttention + CrossAttention
 mid block, bottleneck feature tap for contrastive training.
 
 TPU-native differences:
-- NHWC layout; full attention runs through the fused flash kernel (ops.attention).
+- NHWC layout; full attention runs through ops.attention's size-aware
+  dispatcher (XLA einsum at these 16x16-latent sequence lengths, the
+  fused flash kernel for long sequences).
 - Condition dropout takes an explicit bool mask / PRNG key (no global RNG).
 - CFG's cond+null double forward is batched (2B batch, one forward) in the
   diffusion wrapper — better MXU utilization than two sequential forwards.
@@ -148,8 +150,8 @@ class LinearAttention(nn.Module):
 
 
 class Attention(nn.Module):
-    """Full multi-head self-attention over spatial tokens via the fused
-    flash kernel (reference cfg.py:247-269 + attend.py)."""
+    """Full multi-head self-attention over spatial tokens via the
+    size-dispatched sdpa (reference cfg.py:247-269 + attend.py)."""
 
     heads: int = 4
     dim_head: int = 32
