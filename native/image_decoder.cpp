@@ -1,0 +1,207 @@
+// Multi-threaded JPEG decode + resize + center-crop batch assembler.
+//
+// The stage-1 image pipeline (vqgan_tpu/data/datasets.py:load_image —
+// behavioral twin of the reference's torchvision Resize+CenterCrop+ToTensor,
+// /root/reference/vqgan_ldm_baseline/train_vqgan.py:318-326) decodes JPEGs
+// through PIL one image at a time under the GIL. At 226 img/s of TPU
+// training throughput the Python decode path is the wall on few-core hosts.
+// This decoder fans a batch out over a thread pool: libjpeg decompress →
+// PIL-equivalent triangle-filter resample of the shorter side to
+// `image_size` → center crop → float32 [0,1] NHWC straight into one
+// contiguous batch buffer.
+//
+// The resampler replicates PIL's convolution resampling (triangle/bilinear
+// kernel whose support scales with the downscale factor, weights
+// normalized), so outputs match the PIL path within quantization noise —
+// asserted by tests/test_native_image.py.
+//
+// C ABI via ctypes (no pybind11 in this image), same pattern as
+// batch_loader.cpp.
+
+#include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+#include <jpeglib.h>
+#include <csetjmp>
+
+namespace {
+
+struct ErrMgr {
+  jpeg_error_mgr pub;
+  jmp_buf jump;
+};
+
+void on_error(j_common_ptr cinfo) {
+  ErrMgr *err = reinterpret_cast<ErrMgr *>(cinfo->err);
+  longjmp(err->jump, 1);
+}
+
+// PIL-style triangle-filter coefficient table for one axis: for each output
+// index, the first input tap and its normalized weights. Computed ONCE per
+// (len_in, len_out) and reused across every row and channel — the per-pixel
+// work in the passes below is then a pure multiply-accumulate.
+struct Filter {
+  std::vector<int> lo;      // [len_out] first input tap
+  std::vector<int> taps;    // [len_out] tap count
+  std::vector<float> w;     // [len_out * max_taps] normalized weights
+  int max_taps = 0;
+};
+
+Filter make_filter(int len_in, int len_out) {
+  Filter f;
+  const double scale = double(len_in) / double(len_out);
+  const double filterscale = std::max(scale, 1.0);
+  const double support = 1.0 * filterscale;  // triangle kernel support
+  f.lo.resize(len_out);
+  f.taps.resize(len_out);
+  f.max_taps = int(std::ceil(2 * support)) + 2;
+  f.w.assign(size_t(len_out) * f.max_taps, 0.0f);
+  for (int o = 0; o < len_out; ++o) {
+    const double center = (o + 0.5) * scale - 0.5;
+    int lo = std::max(int(std::ceil(center - support)), 0);
+    int hi = std::min(int(std::floor(center + support)), len_in - 1);
+    f.lo[o] = lo;
+    f.taps[o] = hi - lo + 1;
+    double wsum = 0.0;
+    for (int i = lo; i <= hi; ++i) {
+      double x = std::fabs((i - center) / filterscale);
+      wsum += x < 1.0 ? 1.0 - x : 0.0;
+    }
+    for (int i = lo; i <= hi; ++i) {
+      double x = std::fabs((i - center) / filterscale);
+      double wv = x < 1.0 ? 1.0 - x : 0.0;
+      f.w[size_t(o) * f.max_taps + (i - lo)] =
+          wsum > 0 ? float(wv / wsum) : (i == lo ? 1.0f : 0.0f);
+    }
+  }
+  return f;
+}
+
+// Decode one JPEG file into a [S, S, 3] float32 [0,1] crop at dst.
+int decode_one(const char *path, int image_size, float *dst) {
+  FILE *f = std::fopen(path, "rb");
+  if (!f) return -1;
+
+  jpeg_decompress_struct cinfo;
+  ErrMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = on_error;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    std::fclose(f);
+    return -2;  // corrupt / non-JPEG
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;  // grayscale/CMYK → RGB in-library
+  jpeg_start_decompress(&cinfo);
+
+  const int w = cinfo.output_width, h = cinfo.output_height;
+  const int ch = cinfo.output_components;  // 3 after JCS_RGB
+
+  // shorter-side scale, floors clamped to image_size (load_image:60-64)
+  const int S = image_size;
+  const double scale = double(S) / std::min(w, h);
+  const int rw = std::max(S, int(std::lround(w * scale)));
+  const int rh = std::max(S, int(std::lround(h * scale)));
+  const Filter fx = make_filter(w, rw);
+  const Filter fy = make_filter(h, rh);
+
+  // horizontal pass fused with scanline decode: uint8 row → float [rw*3]
+  std::vector<unsigned char> row(size_t(w) * ch);
+  unsigned char *rowp = row.data();
+  std::vector<float> tmp(size_t(h) * rw * 3);
+  constexpr float k1_255 = 1.0f / 255.0f;
+  for (int y = 0; y < h; ++y) {
+    jpeg_read_scanlines(&cinfo, &rowp, 1);
+    float *out_row = tmp.data() + size_t(y) * rw * 3;
+    for (int o = 0; o < rw; ++o) {
+      const float *wp = fx.w.data() + size_t(o) * fx.max_taps;
+      const unsigned char *ip = row.data() + size_t(fx.lo[o]) * ch;
+      float r = 0, g = 0, b = 0;
+      if (ch == 3) {
+        for (int t = 0; t < fx.taps[o]; ++t, ip += 3) {
+          const float wv = wp[t];
+          r += wv * ip[0];
+          g += wv * ip[1];
+          b += wv * ip[2];
+        }
+      } else {
+        for (int t = 0; t < fx.taps[o]; ++t, ip += ch) r += wp[t] * ip[0];
+        g = b = r;
+      }
+      out_row[o * 3 + 0] = r * k1_255;
+      out_row[o * 3 + 1] = g * k1_255;
+      out_row[o * 3 + 2] = b * k1_255;
+    }
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  std::fclose(f);
+
+  // vertical pass fused with the center crop: each OUTPUT row is a weighted
+  // sum of contiguous tmp rows (row-wise AXPY — vectorizes; no strided
+  // column walks), and only the S cropped rows are ever computed
+  const int left = (rw - S) / 2, top = (rh - S) / 2;
+  const int row_f = S * 3;
+  for (int oy = 0; oy < S; ++oy) {
+    float *out_row = dst + size_t(oy) * row_f;
+    std::memset(out_row, 0, size_t(row_f) * sizeof(float));
+    const int o = oy + top;
+    const float *wp = fy.w.data() + size_t(o) * fy.max_taps;
+    for (int t = 0; t < fy.taps[o]; ++t) {
+      const float wv = wp[t];
+      const float *in_row =
+          tmp.data() + (size_t(fy.lo[o] + t) * rw + left) * 3;
+      for (int x = 0; x < row_f; ++x) out_row[x] += wv * in_row[x];
+    }
+  }
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode n JPEGs into out [n, image_size, image_size, 3] float32 [0,1].
+// Returns 0 on success or the first failure's code (-1 open, -2 decode).
+int decode_jpeg_batch(const char **paths, int n, int image_size, float *out,
+                      int n_threads) {
+  if (n <= 0) return 0;
+  if (n_threads <= 0) n_threads = 4;
+  n_threads = std::min(n_threads, n);
+
+  std::atomic<int> next{0};
+  std::atomic<int> status{0};
+  const size_t item = size_t(image_size) * image_size * 3;
+
+  auto worker = [&]() {
+    while (true) {
+      int i = next.fetch_add(1);
+      if (i >= n || status.load() != 0) return;
+      int rc = decode_one(paths[i], image_size, out + item * i);
+      if (rc != 0) {
+        int expected = 0;
+        status.compare_exchange_strong(expected, rc);
+        return;
+      }
+    }
+  };
+
+  std::vector<std::thread> pool;
+  pool.reserve(n_threads);
+  for (int i = 0; i < n_threads; ++i) pool.emplace_back(worker);
+  for (auto &th : pool) th.join();
+  return status.load();
+}
+
+int image_decoder_abi_version() { return 1; }
+
+}  // extern "C"

@@ -116,6 +116,24 @@ class ImageFolderDataset:
         path, label = self.items[i]
         return load_image(path, self.image_size, self.imagenet_norm), label
 
+    def get_batch(self, idxs) -> Tuple[np.ndarray, np.ndarray]:
+        """Whole-batch fast path: the native C++ JPEG decoder (threaded
+        decode+resize+crop into one contiguous buffer) when available and
+        applicable, else per-item PIL. BatchLoader prefers this over
+        __getitem__ loops."""
+        paths = [self.items[int(i)][0] for i in idxs]
+        labels = np.asarray([self.items[int(i)][1] for i in idxs], np.int32)
+        if not self.imagenet_norm and all(
+                str(p).lower().endswith((".jpg", ".jpeg")) for p in paths):
+            from .native_image import decode_jpeg_batch
+
+            batch = decode_jpeg_batch(paths, self.image_size)
+            if batch is not None:
+                return batch, labels
+        imgs = [load_image(p, self.image_size, self.imagenet_norm)
+                for p in paths]
+        return np.stack(imgs), labels
+
 
 class SyntheticDataset:
     """Scans generated-image folders `ID_X/*.{png,jpg,jpeg}`
@@ -190,6 +208,9 @@ class BatchLoader:
         return order
 
     def _make_batch(self, idxs):
+        get_batch = getattr(self.dataset, "get_batch", None)
+        if get_batch is not None:
+            return get_batch(idxs)
         imgs, labels = zip(*(self.dataset[int(i)] for i in idxs))
         return np.stack(imgs), np.asarray(labels, np.int32)
 
