@@ -190,20 +190,35 @@ class CrossAttentionCond(nn.Module):
             context = context[:, None, :]  # [B, 1, Dctx]
         n = context.shape[1]
 
-        q = nn.Conv(hidden, (1, 1), use_bias=False, dtype=self.dtype,
-                    param_dtype=jnp.float32, name="to_q")(x)
+        to_q = nn.Conv(hidden, (1, 1), use_bias=False, dtype=self.dtype,
+                       param_dtype=jnp.float32, name="to_q")
         k = nn.Dense(hidden, use_bias=False, dtype=self.dtype,
                      param_dtype=jnp.float32, name="to_k")(context)
         v = nn.Dense(hidden, use_bias=False, dtype=self.dtype,
                      param_dtype=jnp.float32, name="to_v")(context)
+        to_out = nn.Conv(c, (1, 1), dtype=self.dtype,
+                         param_dtype=jnp.float32, name="to_out")
 
-        q = q.reshape(b, h * w, self.heads, self.dim_head)
+        if n == 1:
+            # One context token ⇒ softmax ≡ 1 and the attention output is
+            # the value projection at every position (docstring above), so
+            # q·kᵀ/softmax/weighted-sum are dead math. Apply to_out (a 1×1
+            # conv = pointwise) to the single token and broadcast the
+            # RESULT — exact, and profiling showed the general path's two
+            # 16×16-stage instances eating ~330 µs/forward plus their
+            # layout reshapes. to_q still runs on one pixel so the param
+            # tree (and the torch-checkpoint mapping) is unchanged; XLA
+            # dead-code-eliminates it.
+            _ = to_q(x[:, :1, :1, :])
+            tok = to_out(v.reshape(b, 1, 1, hidden))
+            return jnp.broadcast_to(tok, (b, h, w, c))
+
+        q = to_q(x).reshape(b, h * w, self.heads, self.dim_head)
         k = k.reshape(b, n, self.heads, self.dim_head)
         v = v.reshape(b, n, self.heads, self.dim_head)
         out = sdpa(q, k, v)
         out = out.reshape(b, h, w, hidden)
-        return nn.Conv(c, (1, 1), dtype=self.dtype, param_dtype=jnp.float32,
-                       name="to_out")(out)
+        return to_out(out)
 
 
 class PreNormResidual(nn.Module):
