@@ -45,6 +45,17 @@ TIMED_STEPS = 10
 CACHE = REPO / ".bench_cache.json"
 
 
+def sampling_cpu_anchor(key: str) -> float | None:
+    """Committed single-core CPU samples/sec for configs #4/#5 (batch-1 —
+    the CPU-friendliest batching, so the TPU/CPU ratio is a floor).
+    Regenerate with cli/measure_cpu_sampling.py."""
+    anchor = REPO / "results" / "cpu_sampling_baseline.json"
+    try:
+        return json.loads(anchor.read_text())[key]
+    except Exception:
+        return None
+
+
 def build_trainer():
     """The production stage-1 trainer at BASELINE config #2 sizes."""
     from vqgan_tpu.configs import VQGANConfig
@@ -164,12 +175,13 @@ def bench_cfg_sampling(batch: int = 16, steps: int = 150,
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / iters
     flops = jit_flops(pipeline, params, vae_params, key, classes)
+    cpu = sampling_cpu_anchor("cfg4_sps")
     return {
         "metric": f"CFG DDIM-{steps} sampling + VAE decode at 256px "
                   f"(dim=96 U-Net, cond_scale={cond_scale})",
         "value": round(b / dt, 3),
         "unit": "samples/sec/chip",
-        "vs_baseline": None,
+        "vs_baseline": round(b / dt / cpu, 2) if cpu else None,
         **flops_report(flops, dt),
     }
 
@@ -208,12 +220,13 @@ def bench_edm(batch: int = 16, image_size: int = 64, dim: int = 64,
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / iters
     flops = jit_flops(heun, params, jax.random.PRNGKey(1))
+    cpu = sampling_cpu_anchor("cfg5_sps")
     return {
         "metric": f"EDM Heun-{num_sample_steps} sampling, KarrasUnet "
                   f"dim={dim} @ {image_size}px",
         "value": round(b / dt, 3),
         "unit": "samples/sec/chip",
-        "vs_baseline": None,
+        "vs_baseline": round(b / dt / cpu, 2) if cpu else None,
         **flops_report(flops, dt),
     }
 
