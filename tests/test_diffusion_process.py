@@ -211,3 +211,69 @@ def test_self_conditioning_end_to_end():
     # sampling: runs with the carried self-cond
     out = gd.sample({}, jax.random.PRNGKey(1), batch_size=1, cond_scale=1.0)
     assert bool(jnp.isfinite(out).all())
+
+
+def test_cfg_plus_plus_noise_source():
+    # CFG++ (reference cfg.py:602,744-766): the guided output still drives
+    # x_start, but the *renoising* direction comes from the NULL prediction
+    # instead of the extrapolated one.
+    from vqgan_tpu.core import apply_cfg
+
+    a = jax.random.normal(jax.random.PRNGKey(10), (8, 8, 3)) * 0.1
+    b = jax.random.normal(jax.random.PRNGKey(11), (8, 8, 3)) * 0.1
+
+    def model_apply(params, x, t, classes=None, cond_drop_mask=None, **kw):
+        m = cond_drop_mask[:, None, None, None]
+        return jnp.where(m, jnp.broadcast_to(b, x.shape),
+                         jnp.broadcast_to(a, x.shape))
+
+    common = dict(image_size=8, channels=3, timesteps=100,
+                  objective="pred_noise", auto_normalize=False)
+    gd = GaussianDiffusion(model_apply, **common)
+    gd_pp = GaussianDiffusion(model_apply, use_cfg_plus_plus=True, **common)
+
+    x = jax.random.normal(jax.random.PRNGKey(12), (2, 8, 8, 3))
+    t = jnp.array([10, 50])
+    classes = jnp.array([0, 1])
+    pn, xs = gd.model_predictions(
+        {}, x, t, classes, cond_scale=3.0, rescaled_phi=0.0)
+    pn_pp, xs_pp = gd_pp.model_predictions(
+        {}, x, t, classes, cond_scale=3.0, rescaled_phi=0.0)
+
+    guided = apply_cfg(jnp.broadcast_to(a, x.shape),
+                       jnp.broadcast_to(b, x.shape), 3.0, 0.0)
+    # classic CFG: noise is the guided extrapolation
+    np.testing.assert_allclose(np.asarray(pn), np.asarray(guided), atol=1e-5)
+    # CFG++: noise is the null prediction; x_start unchanged
+    np.testing.assert_allclose(
+        np.asarray(pn_pp), np.asarray(jnp.broadcast_to(b, x.shape)),
+        atol=1e-5)
+    np.testing.assert_allclose(np.asarray(xs_pp), np.asarray(xs), atol=1e-5)
+
+
+def test_interpolate_blends_and_is_deterministic():
+    # reference cfg.py:848-863: q_sample both endpoints at t, lerp, denoise
+    def model_apply(params, x, t, classes=None, cond_drop_mask=None, **kw):
+        # x-dependent pred_x0 stub — a constant stub would make the sampler
+        # forget the blended start entirely (x_start drives the final step)
+        return 0.5 * x
+
+    gd = GaussianDiffusion(
+        model_apply, image_size=8, channels=3, timesteps=20,
+        objective="pred_x0", auto_normalize=False)
+    x1 = jnp.ones((1, 8, 8, 3)) * 0.5
+    x2 = -x1
+    key = jax.random.PRNGKey(13)
+    out = gd.interpolate({}, key, x1, x2, t=10)
+    assert out.shape == x1.shape
+    assert bool(jnp.isfinite(out).all())
+    # same key -> identical result (explicit PRNG threading)
+    out_again = gd.interpolate({}, key, x1, x2, t=10)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_again))
+    # endpoint choice flows through the blended start
+    out0 = gd.interpolate({}, key, x1, x2, t=10, lam=0.0)
+    out1 = gd.interpolate({}, key, x1, x2, t=10, lam=1.0)
+    assert float(jnp.abs(out0 - out1).max()) > 1e-4
+    # default t = T-1 also runs
+    full = gd.interpolate({}, key, x1, x2)
+    assert bool(jnp.isfinite(full).all())
