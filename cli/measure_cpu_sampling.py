@@ -71,17 +71,18 @@ def edm_sps(batch: int = 1, image_size: int = 64, dim: int = 64,
     import jax.numpy as jnp
 
     from vqgan_tpu.diffusion import ElucidatedDiffusion
-    from vqgan_tpu.models.karras_unet import KarrasUnet
+    from vqgan_tpu.models.karras_unet import (KarrasUnet,
+                                              normalize_karras_params)
 
     net = KarrasUnet(
         image_size=image_size, dim=dim, dim_max=dim * 4, num_classes=31,
         channels=3, num_downsamples=2, num_blocks_per_stage=2,
-        attn_res=(16, 8), dtype=jnp.bfloat16)
+        attn_res=(16, 8), dtype=jnp.bfloat16, normalize_forward=False)
     b = batch
     classes = (jnp.arange(b) % 31).astype(jnp.int32)
-    params = net.init(jax.random.PRNGKey(0),
-                      jnp.zeros((b, image_size, image_size, 3)),
-                      jnp.zeros((b,)), class_labels=classes)
+    params = normalize_karras_params(net.init(
+        jax.random.PRNGKey(0), jnp.zeros((b, image_size, image_size, 3)),
+        jnp.zeros((b,)), class_labels=classes))
 
     def model_apply(p, x, t_noise, self_cond=None):
         return net.apply(p, x, t_noise, class_labels=classes)

@@ -147,3 +147,30 @@ def test_inv_sqrt_decay_schedule():
     np.testing.assert_allclose(float(fn(0)), 0.01, rtol=1e-6)
     np.testing.assert_allclose(float(fn(100)), 0.01, rtol=1e-6)
     np.testing.assert_allclose(float(fn(400)), 0.005, rtol=1e-6)
+
+
+def test_normalize_forward_false_exact_on_normalized_params(tiny_karras):
+    # inference mode: on params maintained by normalize_karras_params the
+    # per-forward re-normalization is the identity, so skipping it
+    # (normalize_forward=False) must give the same output — it only removes
+    # the re-normalization work the sampler scan repeats every iteration
+    model, params = tiny_karras
+    from vqgan_tpu.models.karras_unet import normalize_karras_params
+
+    inference = model.clone(normalize_forward=False)
+    # the output Gain is zero-init (output identically 0), so open it up
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    params["params"]["output_gain"]["gain"] = jnp.asarray(1.0)
+    normed = normalize_karras_params(params)
+    x = jax.random.normal(jax.random.PRNGKey(7), (2, 16, 16, 3))
+    t = jnp.array([0.3, 0.9])
+    c = jnp.array([1, 2])
+    ref = model.apply(normed, x, t, class_labels=c)
+    fast = inference.apply(normed, x, t, class_labels=c)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+    # on NON-normalized params the two must differ (guards against the flag
+    # silently not reaching the MP kernels)
+    ref_raw = model.apply(params, x, t, class_labels=c)
+    fast_raw = inference.apply(params, x, t, class_labels=c)
+    assert float(jnp.abs(ref_raw - fast_raw).max()) > 1e-6

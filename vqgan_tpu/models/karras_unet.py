@@ -100,6 +100,11 @@ class MPConv(nn.Module):
     kernel_size: int = 3
     concat_ones_to_input: bool = False
     eps: float = 1e-4
+    normalize_forward: bool = True  # False: skip the per-forward weight
+    # re-normalization (inference on params maintained by
+    # normalize_karras_params — exact since normalize_weight is idempotent;
+    # XLA can't hoist the re-normalization out of sampler scans because the
+    # hoisted normalized copies would materialize the whole param set)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -113,7 +118,9 @@ class MPConv(nn.Module):
             "mp_kernel", nn.initializers.normal(1.0),
             (k, k, in_ch, self.features), jnp.float32)
         fan_in = in_ch * k * k
-        w = normalize_weight(w, self.eps) / math.sqrt(fan_in)
+        if self.normalize_forward:
+            w = normalize_weight(w, self.eps)
+        w = w / math.sqrt(fan_in)
         return jax.lax.conv_general_dilated(
             x.astype(self.dtype), w.astype(self.dtype), (1, 1), "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
@@ -122,6 +129,7 @@ class MPConv(nn.Module):
 class MPLinear(nn.Module):
     features: int
     eps: float = 1e-4
+    normalize_forward: bool = True  # see MPConv
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -129,7 +137,9 @@ class MPLinear(nn.Module):
         in_ch = x.shape[-1]
         w = self.param("mp_kernel", nn.initializers.normal(1.0),
                        (in_ch, self.features), jnp.float32)
-        w = normalize_weight(w, self.eps) / math.sqrt(in_ch)
+        if self.normalize_forward:
+            w = normalize_weight(w, self.eps)
+        w = w / math.sqrt(in_ch)
         return jnp.dot(x.astype(self.dtype), w.astype(self.dtype))
 
 
@@ -162,6 +172,7 @@ class KarrasAttention(nn.Module):
     dim_head: int = 64
     num_mem_kv: int = 4
     mp_add_t: float = 0.3
+    normalize_forward: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -169,7 +180,9 @@ class KarrasAttention(nn.Module):
         b, h, w, c = x.shape
         hidden = self.heads * self.dim_head
         res = x
-        qkv = MPConv(hidden * 3, 1, dtype=self.dtype, name="to_qkv")(x)
+        qkv = MPConv(hidden * 3, 1, dtype=self.dtype,
+                     normalize_forward=self.normalize_forward,
+                     name="to_qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         reshape = lambda t: t.reshape(b, h * w, self.heads, self.dim_head)
         q, k, v = reshape(q), reshape(k), reshape(v)
@@ -189,7 +202,9 @@ class KarrasAttention(nn.Module):
         q, k, v = (pixel_norm(t, axis=-1) for t in (q, k, v))
         out = sdpa(q, k, v)
         out = out.reshape(b, h, w, hidden)
-        out = MPConv(c, 1, dtype=self.dtype, name="to_out")(out)
+        out = MPConv(c, 1, dtype=self.dtype,
+                     normalize_forward=self.normalize_forward,
+                     name="to_out")(out)
         return mp_add(out, res, self.mp_add_t)
 
 
@@ -208,6 +223,7 @@ class KarrasEncoderBlock(nn.Module):
     attn_dim_head: int = 64
     attn_res_mp_add_t: float = 0.3
     downsample: bool = False
+    normalize_forward: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -215,25 +231,33 @@ class KarrasEncoderBlock(nn.Module):
         if self.downsample:
             x = _bilinear_resize(x, 0.5)
             x = MPConv(self.dim_out, 1, dtype=self.dtype,
+                       normalize_forward=self.normalize_forward,
                        name="downsample_conv")(x)
         x = pixel_norm(x, axis=-1)
         res = x
-        h = MPConv(self.dim_out, 3, dtype=self.dtype, name="conv1")(mp_silu(x))
+        h = MPConv(self.dim_out, 3, dtype=self.dtype,
+                   normalize_forward=self.normalize_forward,
+                   name="conv1")(mp_silu(x))
         if emb is not None:
             scale = Gain(name="emb_gain")(
-                MPLinear(self.dim_out, dtype=self.dtype, name="to_emb")(emb)
+                MPLinear(self.dim_out, dtype=self.dtype,
+                         normalize_forward=self.normalize_forward,
+                         name="to_emb")(emb)
             ) + 1.0
             h = h * scale[:, None, None, :]
         h = mp_silu(h)
         if self.dropout > 0:
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        h = MPConv(self.dim_out, 3, dtype=self.dtype, name="conv2")(h)
+        h = MPConv(self.dim_out, 3, dtype=self.dtype,
+                   normalize_forward=self.normalize_forward,
+                   name="conv2")(h)
         x = mp_add(h, res, self.mp_add_t)
         if self.has_attn:
             x = KarrasAttention(
                 heads=max(-(-self.dim_out // self.attn_dim_head), 2),
                 dim_head=self.attn_dim_head,
                 mp_add_t=self.attn_res_mp_add_t, dtype=self.dtype,
+                normalize_forward=self.normalize_forward,
                 name="attn")(x)
         return x
 
@@ -246,6 +270,7 @@ class KarrasDecoderBlock(nn.Module):
     attn_dim_head: int = 64
     attn_res_mp_add_t: float = 0.3
     upsample: bool = False
+    normalize_forward: bool = True
     dtype: Dtype = jnp.float32
 
     @property
@@ -258,25 +283,33 @@ class KarrasDecoderBlock(nn.Module):
             x = _bilinear_resize(x, 2.0)
         if x.shape[-1] != self.dim_out:
             res = MPConv(self.dim_out, 1, dtype=self.dtype,
+                         normalize_forward=self.normalize_forward,
                          name="res_conv")(x)
         else:
             res = x
-        h = MPConv(self.dim_out, 3, dtype=self.dtype, name="conv1")(mp_silu(x))
+        h = MPConv(self.dim_out, 3, dtype=self.dtype,
+                   normalize_forward=self.normalize_forward,
+                   name="conv1")(mp_silu(x))
         if emb is not None:
             scale = Gain(name="emb_gain")(
-                MPLinear(self.dim_out, dtype=self.dtype, name="to_emb")(emb)
+                MPLinear(self.dim_out, dtype=self.dtype,
+                         normalize_forward=self.normalize_forward,
+                         name="to_emb")(emb)
             ) + 1.0
             h = h * scale[:, None, None, :]
         h = mp_silu(h)
         if self.dropout > 0:
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        h = MPConv(self.dim_out, 3, dtype=self.dtype, name="conv2")(h)
+        h = MPConv(self.dim_out, 3, dtype=self.dtype,
+                   normalize_forward=self.normalize_forward,
+                   name="conv2")(h)
         x = mp_add(h, res, self.mp_add_t)
         if self.has_attn:
             x = KarrasAttention(
                 heads=max(-(-self.dim_out // self.attn_dim_head), 2),
                 dim_head=self.attn_dim_head,
                 mp_add_t=self.attn_res_mp_add_t, dtype=self.dtype,
+                normalize_forward=self.normalize_forward,
                 name="attn")(x)
         return x
 
@@ -300,6 +333,9 @@ class KarrasUnet(nn.Module):
     resnet_mp_add_t: float = 0.3
     dropout: float = 0.1
     self_condition: bool = False
+    normalize_forward: bool = True  # False = inference mode on params kept
+    # normalized by normalize_karras_params (exact; skips the unhoistable
+    # per-forward weight re-normalization in every MPConv/MPLinear)
     dtype: Dtype = jnp.float32
 
     # the net consumes continuous noise conditioning — EDM pairs it with
@@ -321,7 +357,9 @@ class KarrasUnet(nn.Module):
         # time embedding
         emb_dim = self.dim * 4
         temb = MPFourierEmbedding(self.fourier_dim, name="fourier")(time)
-        temb = MPLinear(emb_dim, dtype=self.dtype, name="to_time_emb")(temb)
+        temb = MPLinear(emb_dim, dtype=self.dtype,
+                        normalize_forward=self.normalize_forward,
+                        name="to_time_emb")(temb)
 
         if self.num_classes is not None:
             assert class_labels is not None
@@ -330,6 +368,7 @@ class KarrasUnet(nn.Module):
             class_labels = class_labels.astype(jnp.float32) * math.sqrt(
                 self.num_classes)
             cemb = MPLinear(emb_dim, dtype=self.dtype,
+                            normalize_forward=self.normalize_forward,
                             name="to_class_emb")(class_labels)
             temb = mp_add(temb, cemb, self.mp_add_emb_t)
 
@@ -339,6 +378,7 @@ class KarrasUnet(nn.Module):
             dropout=self.dropout, attn_dim_head=self.attn_dim_head,
             attn_res_mp_add_t=self.attn_res_mp_add_t,
             mp_add_t=self.resnet_mp_add_t, dtype=self.dtype,
+            normalize_forward=self.normalize_forward,
         )
 
         # assemble stage plan (mirrors reference construction :500-546)
@@ -371,6 +411,7 @@ class KarrasUnet(nn.Module):
 
         # input block, encoder
         x = MPConv(self.dim, 3, concat_ones_to_input=True, dtype=self.dtype,
+                   normalize_forward=self.normalize_forward,
                    name="input_block")(x)
         skips = [x]
         for i, spec in enumerate(downs):
@@ -396,7 +437,9 @@ class KarrasUnet(nn.Module):
                 upsample=spec["upsample"], **block_kwargs,
                 name=f"up_{i}")(x, emb, deterministic=deterministic)
 
-        out = MPConv(self.channels, 3, dtype=self.dtype, name="output_conv")(x)
+        out = MPConv(self.channels, 3, dtype=self.dtype,
+                     normalize_forward=self.normalize_forward,
+                     name="output_conv")(x)
         return Gain(name="output_gain")(out)
 
 
