@@ -50,6 +50,39 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+_VMEM_BUDGET = 13 * 1024 * 1024  # of the ~16 MB scoped-VMEM compiler limit
+
+
+def _fit_blocks(s_q, s_kv, d, itemsize, block_q, block_kv):
+    """Shrink (block_q, block_kv) until the kernels' VMEM residency fits the
+    scoped budget. Per-program residency (matches the compiler's scoped-vmem
+    accounting): up to three streamed [block_q, d] blocks and two resident
+    [max(s_q,s_kv), d] arrays (K/V forward; Q/dO in the dkv backward), each
+    double-buffered across grid steps in the input dtype, plus fp32
+    temporaries (score tile, K/V tile casts, q cast + accumulators). Found
+    the hard way: the KL-VAE's 32×32 single-head attention (S=1024, d=512,
+    fp32) exceeded the 16 MB limit by 1.06 MB at the default 512 blocks.
+    Returns None when no block size fits (huge s·d: the resident arrays
+    alone exceed the budget) — callers fall back to the einsum path."""
+    resident = 4 * _round_up(max(s_q, s_kv), 128) * d * itemsize
+    while True:
+        bq = min(block_q, _round_up(s_q, 8))
+        bkv = min(block_kv, _round_up(s_kv, 128))
+        est = (resident
+               + 6 * bq * d * itemsize   # streamed blocks, double-buffered
+               + bq * bkv * 4            # score tile (fp32)
+               + 2 * bkv * d * 4         # K/V tile casts (fp32)
+               + 3 * bq * d * 4)         # q cast + accumulators (fp32)
+        if est <= _VMEM_BUDGET:
+            return bq, bkv
+        if block_q > 128:
+            block_q //= 2
+        elif block_kv > 128:
+            block_kv //= 2
+        else:
+            return None
+
+
 def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, kv_len,
                       block_kv):
     """One (batch·head, q-block) program. Online softmax over KV tiles."""
@@ -331,6 +364,12 @@ def flash_attention(
     s_kv = k.shape[1]
     scale = scale if scale is not None else 1.0 / math.sqrt(d)
 
+    fitted = _fit_blocks(s_q, s_kv, d, q.dtype.itemsize, block_q, block_kv)
+    if fitted is None:
+        # resident arrays alone exceed scoped VMEM — einsum handles it
+        return sdpa_reference(q, k, v, scale)
+    block_q, block_kv = fitted
+
     to_bhsd = lambda t, s: jnp.transpose(t, (0, 2, 1, 3)).reshape(b * h, s, d)
     qf = to_bhsd(q, s_q)
     kf = to_bhsd(k, s_kv)
@@ -342,6 +381,7 @@ def flash_attention(
 
 
 _FLASH_MIN_SEQ = 1024
+_FLASH_MAX_HEAD_DIM = 256
 
 
 def sdpa(q, k, v, scale: float | None = None, use_flash: str | bool = "auto"):
@@ -359,8 +399,13 @@ def sdpa(q, k, v, scale: float | None = None, use_flash: str | bool = "auto"):
     (BASELINE.md), hence the size dispatch rather than a global choice.
     """
     if use_flash == "auto":
+        # head-dim cap: flash's win is avoiding the O(S²) score round-trip;
+        # at d≥512 (the autoencoders' single-head 32×32 attention) the work
+        # is d-dominated, the scores are comparatively small, and the
+        # resident K/V push the kernel against the scoped-VMEM limit
         use_flash = (jax.default_backend() == "tpu"
-                     and max(q.shape[1], k.shape[1]) >= _FLASH_MIN_SEQ)
+                     and max(q.shape[1], k.shape[1]) >= _FLASH_MIN_SEQ
+                     and q.shape[-1] <= _FLASH_MAX_HEAD_DIM)
     if not use_flash:
         return sdpa_reference(q, k, v, scale)
     return flash_attention(q, k, v, scale)
