@@ -22,6 +22,9 @@ def main():
     ap.add_argument("--image_size", type=int, default=None)
     ap.add_argument("--num_embeddings", type=int, default=None)
     ap.add_argument("--disc_start", type=int, default=None)
+    ap.add_argument("--save_every", type=int, default=None,
+                    dest="save_and_sample_every",
+                    help="checkpoint + recon-grid cadence in steps")
     ap.add_argument("--resume", type=int, default=None,
                     help="milestone to resume from (-1 = latest)")
     ap.add_argument("--lpips_weights", default=None,

@@ -47,13 +47,15 @@ def test_vqgan_trainer_end_to_end(fake_data, tmp_path):
     )
     trainer = VQGANTrainer(cfg, split_path=str(split_path))
     trainer.train(num_steps=4, log_every=2)
-    # checkpoint written at milestone 1 (step 3)
-    assert trainer.ckpt.all_milestones() == [1]
+    # milestone 1 at step 3 (cadence), milestone 2 = off-cadence final save
+    assert trainer.ckpt.all_milestones() == [1, 2]
     assert (tmp_path / "vqgan" / "reconstruction-1.png").exists()
-    # reload restores step counter
+    # reload restores the final step counter from the latest milestone
     trainer2 = VQGANTrainer(cfg, split_path=str(split_path))
     step = trainer2.load()
-    assert step == 3
+    assert step == 4
+    # an explicit milestone still loads the on-cadence snapshot
+    assert trainer2.load(1) == 3
 
 
 def test_ldm_trainer_end_to_end(fake_data, tmp_path):
@@ -90,8 +92,8 @@ def test_ldm_trainer_end_to_end(fake_data, tmp_path):
     # latent cache populated by on-miss encoding
     cache_files = list((tmp_path / "cache").glob("*.npy"))
     assert len(cache_files) > 0
-    # checkpoint + sample grid written
-    assert trainer.ckpt.all_milestones() == [1]
+    # milestone 1 at step 3 (cadence), milestone 2 = off-cadence final save
+    assert trainer.ckpt.all_milestones() == [1, 2]
     assert (tmp_path / "ldm" / "sample-1.png").exists()
     cfg_json = trainer.ckpt.load_config(1)
     assert cfg_json["dim"] == 8

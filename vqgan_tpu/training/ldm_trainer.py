@@ -223,6 +223,10 @@ class LatentDiffusionTrainer:
         if pending is not None:
             for w in self.watchdog.check(pending[0], float(pending[1])):
                 print(f"  [watchdog] {w}")
+        # Off-cadence endings still leave a loadable checkpoint (the
+        # reference keeps model-latest.pt, train_latent_cfg.py:773-776).
+        if num_steps > start and num_steps % cfg.save_and_sample_every != 0:
+            self.save_and_sample(num_steps // cfg.save_and_sample_every + 1)
 
     # ------------------------------------------------------------------
 

@@ -216,6 +216,12 @@ class VQGANTrainer:
         if pending is not None:
             for w in self.watchdog.check(pending[0], float(pending[1])):
                 print(f"  [watchdog] {w}")
+        # Short runs (num_steps < save cadence) or off-cadence endings must
+        # still leave a loadable checkpoint — the reference keeps
+        # vqgan_latest.pt for this (train_vqgan.py:383-387).
+        if num_steps > start and num_steps % cfg.save_and_sample_every != 0:
+            self.save_and_sample(
+                num_steps // cfg.save_and_sample_every + 1, images)
 
     # ------------------------------------------------------------------
 
