@@ -36,9 +36,10 @@ def peak_tflops(device=None) -> Optional[float]:
     unknown (e.g. the CPU test platform)."""
     device = device if device is not None else jax.devices()[0]
     kind = getattr(device, "device_kind", "")
-    for name, peak in _PEAK_BF16_TFLOPS.items():
+    # longest prefix first: "TPU v5p" must not fall through to "TPU v5"
+    for name in sorted(_PEAK_BF16_TFLOPS, key=len, reverse=True):
         if kind.startswith(name):
-            return peak
+            return _PEAK_BF16_TFLOPS[name]
     return None
 
 
