@@ -20,4 +20,10 @@ from .fsdp import (
     place_state,
     sharding_spec_for,
 )
+from .pp import (
+    make_pipeline_mesh,
+    pipeline_apply,
+    shard_stacked_params,
+    stack_params,
+)
 from .tp import apply_tp_sharding, tp_spec_for_path
