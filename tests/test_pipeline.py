@@ -97,6 +97,31 @@ def test_pipeline_composes_with_data_parallel():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_pipeline_pytree_carry_with_conditioning():
+    # per-example conditioning rides the pipeline alongside the activations
+    def blk(p, carry):
+        h, c = carry
+        return (h + jnp.tanh(h @ p["w"] + c @ p["wc"]), c)
+
+    keys = jax.random.split(jax.random.PRNGKey(0), 8)
+    stacked = stack_params([
+        {"w": jax.random.normal(k, (DIM, DIM)) * 0.3,
+         "wc": jax.random.normal(jax.random.fold_in(k, 1), (4, DIM)) * 0.3}
+        for k in keys])
+    h = jax.random.normal(jax.random.PRNGKey(1), (8, DIM))
+    c = jax.random.normal(jax.random.PRNGKey(2), (8, 4))
+
+    want, _ = jax.lax.scan(lambda cr, p: (blk(p, cr), None), (h, c), stacked)[0]
+
+    mesh = make_pipeline_mesh(stages=4)
+    got, got_c = pipeline_apply(blk, shard_stacked_params(stacked, mesh),
+                                (h, c), mesh, num_microbatches=4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_c), np.asarray(c),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_pipeline_rejects_bad_shapes():
     stacked = make_blocks(jax.random.PRNGKey(0), depth=6)
     mesh = make_pipeline_mesh(stages=4)

@@ -92,21 +92,24 @@ def shard_stacked_params(stacked: Any, mesh: Mesh, axis: str = "stage") -> Any:
 
 
 def pipeline_apply(
-    block_fn: Callable[[Any, jax.Array], jax.Array],
+    block_fn: Callable[[Any, Any], Any],
     stacked_params: Any,
-    x: jax.Array,
+    x: Any,
     mesh: Mesh,
     *,
     num_microbatches: int,
     axis: str = "stage",
     data_axis: Optional[str] = "data",
-) -> jax.Array:
+) -> Any:
     """Run the depth-L uniform stack over x with an S-stage GPipe pipeline.
 
-    x: [B, ...] batch (batch dim sharded over `data_axis` when that axis is
-    in the mesh and larger than 1). Returns [B, ...] with the same sharding.
-    Equals `scan(block_fn)` over all L blocks exactly (same math, same
-    order) — asserted in tests/test_pipeline.py.
+    x: a [B, ...] array or a pytree of them (every leaf batch-leading; e.g.
+    `(tokens, cond)` so per-example conditioning rides the pipeline with the
+    activations). `block_fn(params_i, x) -> x` must preserve the tree
+    structure and shapes (uniform stack). The batch dim shards over
+    `data_axis` when that axis is in the mesh and larger than 1; the result
+    has x's structure and sharding. Equals `scan(block_fn)` over all L
+    blocks exactly (same math, same order) — tests/test_pipeline.py.
     """
     S = mesh.shape[axis]
     M = num_microbatches
@@ -116,43 +119,54 @@ def pipeline_apply(
     dp = (mesh.shape[data_axis]
           if data_axis is not None and data_axis in mesh.shape else 1)
     data_axis = data_axis if dp > 1 else None
-    B = x.shape[0]
+    B = jax.tree.leaves(x)[0].shape[0]
     assert B % (M * dp) == 0, (
         f"batch {B} must divide into {M} microbatches x {dp} data shards")
 
     param_spec = jax.tree.map(
         lambda l: P(axis, *([None] * (l.ndim - 1))), stacked_params)
-    x_spec = P(data_axis, *([None] * (x.ndim - 1)))
+    x_spec = jax.tree.map(
+        lambda l: P(data_axis, *([None] * (l.ndim - 1))), x)
 
     def per_device(params_local, x_local):
-        # params_local leaves: [L/S, ...]; x_local: [B/dp, ...]
+        # params_local leaves: [L/S, ...]; x_local leaves: [B/dp, ...]
         idx = lax.axis_index(axis)
-        mb = x_local.reshape((M, x_local.shape[0] // M) + x_local.shape[1:])
+        mb = jax.tree.map(
+            lambda l: l.reshape((M, l.shape[0] // M) + l.shape[1:]), x_local)
 
         def stage_body(h):
             return lax.scan(lambda c, p: (block_fn(p, c), None),
                             h, params_local)[0]
 
         fwd_perm = [(i, i + 1) for i in range(S - 1)]
-        pad = jnp.zeros((S - 1,) + mb.shape[1:], mb.dtype)
-        ticks = jnp.concatenate([mb, pad], axis=0)  # [M+S-1, mb, ...]
+        # bubble ticks feed zeros; their outputs never reach the valid slice
+        ticks = jax.tree.map(
+            lambda l: jnp.concatenate(
+                [l, jnp.zeros((S - 1,) + l.shape[1:], l.dtype)], axis=0),
+            mb)  # [M+S-1, mb, ...]
 
         def tick(recv, mb_t):
             # stage 0 pulls the next microbatch; later stages consume the
             # activation ppermuted from their predecessor last tick
-            inp = jnp.where(idx == 0, mb_t, recv)
+            inp = jax.tree.map(
+                lambda m, r: jnp.where(idx == 0, m, r), mb_t, recv)
             out = stage_body(inp)
-            nxt = (lax.ppermute(out, axis, fwd_perm) if S > 1
-                   else jnp.zeros_like(out))
+            nxt = (jax.tree.map(lambda o: lax.ppermute(o, axis, fwd_perm),
+                                out) if S > 1
+                   else jax.tree.map(jnp.zeros_like, out))
             return nxt, out
 
-        _, outs = lax.scan(tick, jnp.zeros_like(mb[0]), ticks)
+        zero0 = jax.tree.map(lambda l: jnp.zeros_like(l[0]), mb)
+        _, outs = lax.scan(tick, zero0, ticks)
         # last stage's outputs for ticks [S-1, S-1+M) are the results;
         # psum over 'stage' (zeros elsewhere) replicates them to all stages
-        valid = outs[S - 1:S - 1 + M].reshape(x_local.shape)
-        valid = jnp.where(idx == S - 1, valid, jnp.zeros_like(valid))
+        valid = jax.tree.map(
+            lambda o, xl: o[S - 1:S - 1 + M].reshape(xl.shape),
+            outs, x_local)
+        valid = jax.tree.map(
+            lambda v: jnp.where(idx == S - 1, v, jnp.zeros_like(v)), valid)
         if S > 1:
-            valid = lax.psum(valid, axis)
+            valid = jax.tree.map(lambda v: lax.psum(v, axis), valid)
         return valid
 
     return shard_map(
