@@ -28,6 +28,11 @@ def main():
     ap.add_argument("--num_sample_steps", type=int, default=32)
     ap.add_argument("--num_classes", type=int, default=31)
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--sampler", choices=("both", "heun", "dpmpp"),
+                    default="both",
+                    help="which sampler(s) to compile and time — dpmpp-only "
+                         "skips the Heun compile (expensive at big batches; "
+                         "its 2-NFE carry hits a memory cliff past b64)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -55,32 +60,43 @@ def main():
         net_apply, image_size=args.image_size, channels=3,
         num_sample_steps=args.num_sample_steps)
 
-    heun = jax.jit(lambda p, k: ed.sample(p, k, batch_size=b))
-    t0 = time.time()
-    out = heun(params, jax.random.PRNGKey(1))
-    jax.block_until_ready(out)
-    print(f"heun compile+first: {time.time() - t0:.1f}s", file=sys.stderr)
+    sps = None
+    if args.sampler in ("both", "heun"):
+        heun = jax.jit(lambda p, k: ed.sample(p, k, batch_size=b))
+        t0 = time.time()
+        out = heun(params, jax.random.PRNGKey(1))
+        jax.block_until_ready(out)
+        print(f"heun compile+first: {time.time() - t0:.1f}s", file=sys.stderr)
 
-    t0 = time.perf_counter()
-    for i in range(args.iters):
-        out = heun(params, jax.random.fold_in(jax.random.PRNGKey(2), i))
-    # true sync: fetch a scalar derived from the result
-    float(jnp.sum(out))
-    dt = (time.perf_counter() - t0) / args.iters
-    sps = b / dt
+        t0 = time.perf_counter()
+        for i in range(args.iters):
+            out = heun(params, jax.random.fold_in(jax.random.PRNGKey(2), i))
+        # true sync: fetch a scalar derived from the result
+        float(jnp.sum(out))
+        dt = (time.perf_counter() - t0) / args.iters
+        sps = b / dt
 
-    dpmpp = jax.jit(lambda p, k: ed.sample_using_dpmpp(p, k, batch_size=b))
-    out2 = dpmpp(params, jax.random.PRNGKey(3))
-    t0 = time.perf_counter()
-    for i in range(args.iters):
-        out2 = dpmpp(params, jax.random.fold_in(jax.random.PRNGKey(4), i))
-    float(jnp.sum(out2))
-    dt2 = (time.perf_counter() - t0) / args.iters
-    print(f"dpmpp(2m): {b / dt2:.2f} samples/sec", file=sys.stderr)
+    if args.sampler in ("both", "dpmpp"):
+        dpmpp = jax.jit(lambda p, k: ed.sample_using_dpmpp(p, k,
+                                                           batch_size=b))
+        t0 = time.time()
+        out2 = dpmpp(params, jax.random.PRNGKey(3))
+        jax.block_until_ready(out2)
+        print(f"dpmpp compile+first: {time.time() - t0:.1f}s",
+              file=sys.stderr)
+        t0 = time.perf_counter()
+        for i in range(args.iters):
+            out2 = dpmpp(params, jax.random.fold_in(jax.random.PRNGKey(4), i))
+        float(jnp.sum(out2))
+        dt2 = (time.perf_counter() - t0) / args.iters
+        print(f"dpmpp(2m): {b / dt2:.2f} samples/sec", file=sys.stderr)
+        if sps is None:
+            sps = b / dt2
 
+    name = ("Heun" if args.sampler != "dpmpp" else "DPM++(2M)")
     print(json.dumps({
-        "metric": f"EDM Heun-{args.num_sample_steps} sampling, KarrasUnet "
-                  f"dim={args.dim} @ {args.image_size}px",
+        "metric": f"EDM {name}-{args.num_sample_steps} sampling, KarrasUnet "
+                  f"dim={args.dim} @ {args.image_size}px b{b}",
         "value": round(sps, 3),
         "unit": "samples/sec/chip",
         "vs_baseline": None,
