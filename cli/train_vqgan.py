@@ -27,6 +27,10 @@ def main():
                     help="checkpoint + recon-grid cadence in steps")
     ap.add_argument("--resume", type=int, default=None,
                     help="milestone to resume from (-1 = latest)")
+    ap.add_argument("--revive_dead_codes_every", type=int, default=None,
+                    help="re-anchor codes unused for this many steps to "
+                         "random encoder outputs (0/unset = off)")
+    ap.add_argument("--revive_usage_threshold", type=int, default=None)
     ap.add_argument("--lpips_weights", default=None,
                     help=".npz with exported VGG16+lpips weights")
     args = ap.parse_args()

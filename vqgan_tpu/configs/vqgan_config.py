@@ -67,6 +67,10 @@ class VQGANConfig:
     gradient_accumulate_every: int = 1
     max_grad_norm: float = 1.0
 
+    # --- codebook health (beyond reference; see ops.vq.revive_dead_codes)
+    revive_dead_codes_every: int = 0  # 0 = off (the reference has no revival)
+    revive_usage_threshold: int = 1  # usage-count floor over the window
+
     # --- intentionally unused (paper baseline) ---
     use_ema: bool = False
     ema_decay: Optional[float] = None

@@ -82,6 +82,9 @@ class VectorQuantizer(nn.Module):
         z_q_ste = z32 + jax.lax.stop_gradient(z_q - z32)
 
         loss_dict = {
+            "usage_counts": usage,  # [K] int32 per-batch counts (the only
+            # non-scalar log entry; trainers accumulate it for dead-code
+            # revival and drop it from scalar logging)
             "vq_loss": vq_loss,
             "codebook_loss": jax.lax.stop_gradient(codebook_loss),
             "commitment_loss": jax.lax.stop_gradient(commitment_loss),
@@ -153,6 +156,12 @@ class VQVAE(nn.Module):
         z_q, loss_dict, indices = self.quantizer(z)
         z_q = self.post_quant_conv(z_q)
         return z_q, indices, loss_dict
+
+    def encode_pre_quant(self, x, *, deterministic: bool = True):
+        """Images → pre-quant encoder features [B, h, w, D] — the candidate
+        pool for dead-code revival (ops.vq.revive_dead_codes)."""
+        z = self.encoder(x, deterministic=deterministic)
+        return self.pre_quant_conv(z)
 
     def decode(self, z_q, *, deterministic: bool = True):
         return self.decoder(z_q, deterministic=deterministic)

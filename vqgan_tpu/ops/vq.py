@@ -40,6 +40,7 @@ __all__ = [
     "vq_lookup_reference",
     "codebook_usage",
     "ema_codebook_update",
+    "revive_dead_codes",
 ]
 
 
@@ -383,6 +384,39 @@ def codebook_usage(indices: jax.Array, num_embeddings: int) -> jax.Array:
     return jnp.zeros((num_embeddings,), jnp.int32).at[
         indices.reshape(-1)
     ].add(1)
+
+
+def revive_dead_codes(
+    codebook: jax.Array,
+    usage_counts: jax.Array,
+    z: jax.Array,
+    rng: jax.Array,
+    threshold: int = 1,
+):
+    """Re-initialize under-used codes to random encoder outputs.
+
+    The codebook-collapse fix from the utilization literature (e.g.
+    VQGAN-LC, arXiv 2406.11837: dead codes re-anchored to encoder features;
+    also standard in VQ-VAE-2 training recipes): any code whose accumulated
+    `usage_counts` (e.g. summed over the steps since the last revival) is
+    below `threshold` is replaced by a row of `z` drawn uniformly at random
+    — placing it in a populated region of encoder space so it wins lookups
+    again. The reference monitors utilization (quantizer.py:134-149) but
+    has no revival; this is the corresponding intervention, off by default
+    (`VQGANConfig.revive_dead_codes_every`).
+
+    codebook: [K, D]; usage_counts: [K] int; z: [N, D] (or any batch shape
+    flattening to [N, D]) pre-quant encoder outputs.
+    Returns (new_codebook, num_revived, dead_mask [K] bool). Fully jittable.
+    """
+    k, d = codebook.shape
+    z2 = z.reshape(-1, z.shape[-1]).astype(codebook.dtype)
+    assert z2.shape[-1] == d, (z.shape, codebook.shape)
+    dead = usage_counts < threshold
+    rows = jax.random.randint(rng, (k,), 0, z2.shape[0])
+    replacement = jnp.take(z2, rows, axis=0)
+    new_codebook = jnp.where(dead[:, None], replacement, codebook)
+    return new_codebook, jnp.sum(dead.astype(jnp.int32)), dead
 
 
 def ema_codebook_update(

@@ -34,7 +34,25 @@ __all__ = [
     "make_vqgan_train_step",
     "make_vqgan_split_steps",
     "make_gan_optimizers",
+    "reset_codebook_moments",
 ]
+
+
+def reset_codebook_moments(opt_state, dead_mask):
+    """Zero the Adam moments of revived codebook rows (ops.vq.
+    revive_dead_codes): a revived code's stale mu/nu would immediately drag
+    it away from its new anchor. Matches the moment leaves by their
+    param-tree path (...'quantizer' → 'embedding'); optax moment trees
+    mirror the param tree, so the path rule covers every chain element."""
+
+    def fix(path, leaf):
+        names = [str(getattr(p, "key", "")) for p in path]
+        if (names and names[-1] == "embedding" and "quantizer" in names
+                and getattr(leaf, "ndim", 0) == 2):
+            return jnp.where(dead_mask[:, None], jnp.zeros_like(leaf), leaf)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(fix, opt_state)
 
 
 class VQGANTrainState(flax.struct.PyTreeNode):

@@ -35,6 +35,7 @@ from .vqgan_step import (
     make_gan_optimizers,
     make_vqgan_split_steps,
     make_vqgan_train_step,
+    reset_codebook_moments,
 )
 from .watchdog import TrainingWatchdog
 
@@ -149,6 +150,37 @@ class VQGANTrainer:
         self.ckpt = CheckpointManager(cfg.results_folder, prefix="vqgan")
         self.watchdog = TrainingWatchdog()
 
+        # optional dead-code revival (ops.vq.revive_dead_codes): accumulate
+        # per-step usage counts; every `revive_dead_codes_every` steps,
+        # re-anchor codes unused in the window to random pre-quant encoder
+        # outputs from the current batch and zero their Adam moments.
+        self._revive_every = int(
+            getattr(cfg, "revive_dead_codes_every", 0) or 0)
+        self._usage_accum = jnp.zeros((cfg.num_embeddings,), jnp.int32)
+        if self._revive_every:
+            from ..ops.vq import revive_dead_codes
+
+            threshold = int(getattr(cfg, "revive_usage_threshold", 1))
+            vqvae = self.vqvae
+
+            def _revive(state, images, usage, rng):
+                z = vqvae.apply(state.vqvae_params, images,
+                                method=VQVAE.encode_pre_quant)
+                cb = state.vqvae_params["params"]["quantizer"]["embedding"]
+                new_cb, n, dead = revive_dead_codes(
+                    cb, usage, z.reshape(-1, z.shape[-1]), rng, threshold)
+                p = dict(state.vqvae_params)
+                inner = dict(p["params"])
+                quant = dict(inner["quantizer"])
+                quant["embedding"] = new_cb
+                inner["quantizer"] = quant
+                p["params"] = inner
+                return state.replace(
+                    vqvae_params=p,
+                    opt_g=reset_codebook_moments(state.opt_g, dead)), n
+
+            self._revive_step = jax.jit(_revive)
+
         from ..utils.metrics_log import MetricsLogger
 
         self.metrics = MetricsLogger(cfg.results_folder, run_name="vqgan")
@@ -186,6 +218,18 @@ class VQGANTrainer:
             self.state, log = self.dispatch_step(
                 self.state, self._put(jnp.asarray(images)), step)
 
+            if self._revive_every:
+                self._usage_accum = self._usage_accum + log["usage_counts"]
+                if (step + 1) % self._revive_every == 0:
+                    self.state, n_revived = self._revive_step(
+                        self.state, self._put(jnp.asarray(images)),
+                        self._usage_accum,
+                        jax.random.fold_in(
+                            jax.random.PRNGKey(cfg.seed ^ 0x5EED), step))
+                    self._usage_accum = jnp.zeros_like(self._usage_accum)
+                    print(f"  [revive] step {step + 1}: re-anchored "
+                          f"{int(n_revived)} dead codes")
+
             # Per-step health check, pipelined one step behind (see
             # ldm_trainer.train): the reference checks every step
             # (train_latent_cfg.py:653); fetching the previous step's scalar
@@ -198,7 +242,8 @@ class VQGANTrainer:
 
             if (step + 1) % log_every == 0:
                 log_host = {k: float(v) for k, v in
-                            jax.device_get(log).items()}
+                            jax.device_get(log).items()
+                            if np.ndim(v) == 0}  # usage_counts is [K]
                 ips = log_every * cfg.batch_size / (time.time() - t0)
                 t0 = time.time()
                 self.metrics.log(step + 1, {**log_host, "images_per_sec": ips})
