@@ -190,7 +190,7 @@ def bench_edm_dpmpp(batch: int = 128) -> dict:
     """EDM throughput mode: DPM++(2M) (reference
     elucidated_diffusion.py:202-237) does 1 NFE/step vs Heun's 2 and keeps
     scaling with batch where Heun-b128 hits a memory cliff — measured best
-    serving point for config #5 (105.5 samples/s vs Heun-b16's 59.7)."""
+    serving point for config #5 (139.5 samples/s vs Heun-b16's 59.7)."""
     return bench_edm(batch=batch, sampler="dpmpp")
 
 
