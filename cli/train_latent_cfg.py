@@ -21,6 +21,9 @@ def main():
     ap.add_argument("--train_num_steps", type=int, default=None)
     ap.add_argument("--train_batch_size", type=int, default=None)
     ap.add_argument("--resume", type=int, default=None)
+    ap.add_argument("--model_type", choices=("unet", "dit"), default=None,
+                    help="denoiser backbone: the reference CFG U-Net "
+                         "(default) or the DiT transformer (models/dit.py)")
     ap.add_argument("--baseline", action="store_true",
                     help="ablation baseline config (all optimizations off)")
     ap.add_argument("--param_sharding", default="replicated",

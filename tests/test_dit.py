@@ -112,6 +112,26 @@ def test_dit_drops_into_gaussian_diffusion():
     assert bool(jnp.isfinite(sample).all())
 
 
+def test_ldm_builder_supports_dit_backbone():
+    from vqgan_tpu.configs import LDMConfig
+    from vqgan_tpu.training.ldm_trainer import build_cfg_unet_diffusion
+
+    cfg = LDMConfig(model_type="dit", dim=8, dit_depth=2, dit_patch_size=2,
+                    attn_heads=2, attn_dim_head=8, latent_size=8,
+                    timesteps=20, sampling_timesteps=4,
+                    compute_dtype="float32")
+    model, diffusion = build_cfg_unet_diffusion(cfg)
+    assert type(model).__name__ == "DiT"
+    x = jnp.zeros((2, 8, 8, cfg.latent_channels))
+    v = model.init({"params": jax.random.PRNGKey(0)}, x,
+                   jnp.zeros((2,), jnp.int32), jnp.zeros((2,), jnp.int32),
+                   cond_drop_mask=jnp.zeros((2,), bool))
+    loss = diffusion.loss(v, jax.random.PRNGKey(1),
+                          jax.random.normal(jax.random.PRNGKey(2), x.shape),
+                          jnp.array([0, 1]), cond_drop_prob=0.0)
+    assert jnp.isfinite(loss)
+
+
 def test_dit_pipeline_forward_matches_sequential():
     from vqgan_tpu.parallel.pp import make_pipeline_mesh
 

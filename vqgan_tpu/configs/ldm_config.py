@@ -41,11 +41,15 @@ class LDMConfig:
     latent_channels: int = 4
 
     # --- model (≈44M params) ---
+    model_type: str = "unet"  # "unet" (reference CFGUnet) | "dit"
     dim: int = 96
     dim_mults: Tuple[int, ...] = (1, 2, 4, 4)
     attn_dim_head: int = 64
     attn_heads: int = 8
     cond_drop_prob: float = 0.0  # CFG off: tiny dataset, see module docstring
+    # dit-only knobs (ignored for unet)
+    dit_depth: int = 8
+    dit_patch_size: int = 2
 
     # --- diffusion ---
     timesteps: int = 1000

@@ -37,7 +37,9 @@ __all__ = ["LatentDiffusionTrainer", "build_cfg_unet_diffusion"]
 
 def build_cfg_unet_diffusion(cfg: LDMConfig, dtype=None,
                              gradient_checkpointing: bool = False):
-    """Construct the CFG U-Net + GaussianDiffusion pair from a config.
+    """Construct the denoiser + GaussianDiffusion pair from a config
+    (cfg.model_type: "unet" = reference CFGUnet, "dit" = models/dit.py —
+    both share the same call contract, so everything downstream is common).
 
     gradient_checkpointing wraps the whole U-Net apply in `jax.checkpoint`
     (rematerialization) — the TPU analog of the Diffusers path's
@@ -46,12 +48,25 @@ def build_cfg_unet_diffusion(cfg: LDMConfig, dtype=None,
     """
     dtype = dtype or (
         jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32)
-    model = CFGUnet(
-        dim=cfg.dim, num_classes=cfg.num_users,
-        cond_drop_prob=cfg.cond_drop_prob, dim_mults=tuple(cfg.dim_mults),
-        channels=cfg.latent_channels, attn_dim_head=cfg.attn_dim_head,
-        attn_heads=cfg.attn_heads, dtype=dtype,
-    )
+    model_type = getattr(cfg, "model_type", "unet")
+    if model_type == "dit":
+        from ..models import DiT
+
+        model = DiT(
+            dim=cfg.dim * 4, depth=cfg.dit_depth, heads=cfg.attn_heads,
+            dim_head=cfg.attn_dim_head, patch_size=cfg.dit_patch_size,
+            image_size=cfg.latent_size, channels=cfg.latent_channels,
+            num_classes=cfg.num_users, cond_drop_prob=cfg.cond_drop_prob,
+            dtype=dtype,
+        )
+    else:
+        assert model_type == "unet", model_type
+        model = CFGUnet(
+            dim=cfg.dim, num_classes=cfg.num_users,
+            cond_drop_prob=cfg.cond_drop_prob, dim_mults=tuple(cfg.dim_mults),
+            channels=cfg.latent_channels, attn_dim_head=cfg.attn_dim_head,
+            attn_heads=cfg.attn_heads, dtype=dtype,
+        )
 
     def model_apply(p, x, t, classes, cond_drop_mask=None,
                     cond_drop_prob=None, rng=None, return_features=False):
