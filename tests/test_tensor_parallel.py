@@ -69,6 +69,40 @@ def test_tp_forward_matches_replicated():
         assert "model" in str(leaf.sharding.spec)
 
 
+def test_tp_covers_dit_blocks():
+    """The path rules (to_qkv column / to_out row) hit DiT's attention by
+    naming: TP-sharded DiT forward equals replicated."""
+    from vqgan_tpu.models import DiT
+
+    model = DiT(dim=32, depth=2, heads=2, dim_head=8, patch_size=2,
+                image_size=8, channels=4, num_classes=4, cond_drop_prob=0.0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 8, 8, 4))
+    t = jnp.array([1, 5, 9, 3])
+    c = jnp.array([0, 1, 2, 3])
+    mask = jnp.zeros((4,), bool)
+    params = model.init({"params": jax.random.PRNGKey(0)}, x, t, c,
+                        cond_drop_mask=mask)
+    # perturb the zero-init heads so the output is non-trivial
+    params = jax.tree.map(lambda l: l + 0.03 * jnp.ones_like(l), params)
+    ref = model.apply(params, x, t, c, cond_drop_mask=mask)
+
+    mesh = make_mesh(data=4, model=2)
+    with mesh:
+        params_tp = apply_tp_sharding(params, mesh)
+        out = jax.jit(
+            lambda p, x, t, c, m: model.apply(p, x, t, c, cond_drop_mask=m)
+        )(params_tp, shard_batch(x, mesh), t, c, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    import jax.tree_util as jtu
+
+    qkv = [leaf for path, leaf in jtu.tree_leaves_with_path(params_tp)
+           if "to_qkv" in "/".join(str(k.key) for k in path)]
+    assert len(qkv) == 2  # one per block
+    for leaf in qkv:
+        assert "model" in str(leaf.sharding.spec)
+
+
 def test_tp_training_step_matches_replicated():
     """VERDICT r1 item 10: the FULL LDM train step (grads, Adam update, EMA)
     under a (data=4, model=2) mesh with TP-sharded attention kernels must
