@@ -224,3 +224,33 @@ def test_ldm_warmup_schedule():
         u, opt_state = tx.update(grads, opt_state, params)
     step_late = float(jnp.abs(u["w"]).max())
     assert step1 < 0.2 * step_late
+
+
+def test_gan_optimizer_gradient_accumulation():
+    """make_gan_optimizers(gradient_accumulate_every=k): params move only on
+    every k-th micro-step, using the averaged gradient."""
+    import optax
+
+    opt_g, _ = make_gan_optimizers(learning_rate=1e-2, max_grad_norm=None,
+                                   gradient_accumulate_every=2)
+    params = {"w": jnp.ones((3,))}
+    state = opt_g.init(params)
+
+    g1 = {"w": jnp.array([1.0, 0.0, 2.0])}
+    g2 = {"w": jnp.array([3.0, 4.0, 0.0])}
+    up1, state = opt_g.update(g1, state, params)
+    p_mid = optax.apply_updates(params, up1)
+    np.testing.assert_array_equal(np.asarray(p_mid["w"]),
+                                  np.asarray(params["w"]))  # no-op step
+    up2, state = opt_g.update(g2, state, p_mid)
+    p_end = optax.apply_updates(p_mid, up2)
+    assert float(jnp.abs(p_end["w"] - params["w"]).max()) > 0
+
+    # reference: plain Adam fed the averaged gradient once
+    ref_opt, _ = make_gan_optimizers(learning_rate=1e-2, max_grad_norm=None)
+    ref_state = ref_opt.init(params)
+    g_avg = jax.tree.map(lambda a, b: (a + b) / 2.0, g1, g2)
+    ref_up, _ = ref_opt.update(g_avg, ref_state, params)
+    ref_p = optax.apply_updates(params, ref_up)
+    np.testing.assert_allclose(np.asarray(p_end["w"]),
+                               np.asarray(ref_p["w"]), rtol=1e-6)

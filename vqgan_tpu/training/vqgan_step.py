@@ -70,9 +70,13 @@ def make_gan_optimizers(
     betas: Tuple[float, float] = (0.5, 0.9),
     weight_decay: float = 0.0,
     max_grad_norm: Optional[float] = 1.0,
+    gradient_accumulate_every: int = 1,
 ):
     """Two Adam chains with clipping (reference train_vqgan.py:178-190,
-    vqgan_config.py:86-90)."""
+    vqgan_config.py:86-90). gradient_accumulate_every > 1 wraps both in
+    optax.MultiSteps — grads average over k micro-batches, the update
+    applies on the k-th (the same mechanism as the LDM path,
+    ldm_step.py:59)."""
 
     def chain(lr):
         parts = []
@@ -83,7 +87,10 @@ def make_gan_optimizers(
                                      weight_decay=weight_decay))
         else:
             parts.append(optax.adam(lr, b1=betas[0], b2=betas[1]))
-        return optax.chain(*parts)
+        tx = optax.chain(*parts)
+        if gradient_accumulate_every > 1:
+            tx = optax.MultiSteps(tx, gradient_accumulate_every)
+        return tx
 
     return chain(learning_rate), chain(disc_learning_rate)
 

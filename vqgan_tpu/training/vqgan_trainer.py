@@ -102,6 +102,7 @@ class VQGANTrainer:
             disc_learning_rate=cfg.disc_learning_rate,
             betas=cfg.adam_betas, weight_decay=cfg.weight_decay,
             max_grad_norm=cfg.max_grad_norm or None,
+            gradient_accumulate_every=cfg.gradient_accumulate_every,
         )
         step_kwargs = dict(
             disc_start=cfg.disc_start, disc_weight=cfg.disc_weight,
