@@ -121,11 +121,26 @@ def main():
     log, digest = run_steps(step_fn, state, batch["latents"],
                             batch["classes"], rng)
     barrier("post-train")
+
+    # FSDP across hosts: the SAME step with params + Adam moments + EMA
+    # sharded over the 8-device 'data' axis spanning both processes —
+    # placement via place_state's multi-process path; must reproduce the
+    # replicated run exactly (same init, data, rng)
+    from vqgan_tpu.parallel.fsdp import place_state
+
+    _, state_f, _, _, _ = build()
+    state_f = place_state(state_f, mesh, "fsdp", min_size=128)
+    log_f, digest_f = run_steps(step_fn, state_f, batch["latents"],
+                                batch["classes"], rng)
+    barrier("post-fsdp")
+
     print("RESULT=" + json.dumps({
         "pid": pid,
         "loss": _scalar(log["loss"]),
         "grad_norm": _scalar(log["grad_norm"]),
         "param_digest": _scalar(digest),
+        "fsdp_loss": _scalar(log_f["loss"]),
+        "fsdp_param_digest": _scalar(digest_f),
     }), flush=True)
 
 

@@ -61,9 +61,16 @@ def test_two_process_ldm_step_matches_single_process():
     assert set(results) == {0, 1}, results
 
     # both processes observe the same replicated training outcome
-    for key in ("loss", "grad_norm", "param_digest"):
+    for key in ("loss", "grad_norm", "param_digest", "fsdp_loss",
+                "fsdp_param_digest"):
         np.testing.assert_allclose(results[0][key], results[1][key],
                                    rtol=1e-6, err_msg=key)
+
+    # cross-host FSDP reproduces the replicated run (same init/data/rng)
+    np.testing.assert_allclose(results[0]["fsdp_loss"], results[0]["loss"],
+                               rtol=1e-5)
+    np.testing.assert_allclose(results[0]["fsdp_param_digest"],
+                               results[0]["param_digest"], rtol=1e-5)
 
     # single-process reference on this process's 8 virtual devices
     from vqgan_tpu.parallel import make_mesh, replicate, shard_batch

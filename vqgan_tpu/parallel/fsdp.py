@@ -126,15 +126,24 @@ def place_state(state: Any, mesh: Mesh, mode: str,
     scalars) under a parameter-sharding policy. Scalars and small leaves
     replicate; everything else follows `sharding_spec_for`.
 
-    Single-process placement (device_put). For multi-host replicated
-    placement use mesh.replicate, which builds global arrays from
-    process-local shards."""
+    Multi-process: every process must hold the same host values (seeded
+    init / restored checkpoint); each contributes its addressable shards
+    through make_array_from_callback, so the same call works on a mesh
+    spanning several hosts."""
+    import numpy as np
+
+    multiproc = jax.process_count() > 1
 
     def place(path, leaf):
         import jax.numpy as jnp
 
         leaf = jnp.asarray(leaf) if not hasattr(leaf, "ndim") else leaf
         spec = sharding_spec_for(path, leaf, mesh, mode, min_size)
-        return jax.device_put(leaf, NamedSharding(mesh, spec))
+        sharding = NamedSharding(mesh, spec)
+        if not multiproc:
+            return jax.device_put(leaf, sharding)
+        x = np.asarray(leaf)
+        return jax.make_array_from_callback(x.shape, sharding,
+                                            lambda idx: x[idx])
 
     return jax.tree_util.tree_map_with_path(place, state)
