@@ -103,6 +103,32 @@ def test_tp_covers_dit_blocks():
         assert "model" in str(leaf.sharding.spec)
 
 
+def test_tp_covers_karras_unet():
+    """Karras MP attention also names its kernels to_qkv/to_out; TP must be
+    exact there too — the interesting interaction is the per-forward forced
+    weight normalization over a sharded kernel axis (GSPMD has to treat the
+    norm as a global reduction over the 'model'-sharded dim)."""
+    from vqgan_tpu.models.karras_unet import KarrasUnet
+
+    model = KarrasUnet(image_size=16, dim=16, dim_max=32, num_classes=4,
+                       channels=3, num_downsamples=1,
+                       num_blocks_per_stage=1, attn_res=(8,),
+                       attn_dim_head=8, dropout=0.0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 16, 16, 3))
+    t = jnp.ones((4,)) * 0.5
+    c = jnp.array([0, 1, 2, 3])
+    params = model.init(jax.random.PRNGKey(0), x, t, class_labels=c)
+    ref = model.apply(params, x, t, class_labels=c)
+
+    mesh = make_mesh(data=4, model=2)
+    with mesh:
+        params_tp = apply_tp_sharding(params, mesh)
+        out = jax.jit(
+            lambda p, x, t, c: model.apply(p, x, t, class_labels=c)
+        )(params_tp, shard_batch(x, mesh), t, c)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
 def test_tp_training_step_matches_replicated():
     """VERDICT r1 item 10: the FULL LDM train step (grads, Adam update, EMA)
     under a (data=4, model=2) mesh with TP-sharded attention kernels must
