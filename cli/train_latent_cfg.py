@@ -27,7 +27,7 @@ def main():
     ap.add_argument("--baseline", action="store_true",
                     help="ablation baseline config (all optimizations off)")
     ap.add_argument("--param_sharding", default="replicated",
-                    choices=["replicated", "fsdp", "tp", "fsdp_tp"],
+                    choices=["replicated", "zero1", "fsdp", "tp", "fsdp_tp"],
                     help="parameter layout over the device mesh: replicated"
                          " (reference-style DP), fsdp (ZeRO-3 over 'data'),"
                          " tp (attention kernels over 'model'), fsdp_tp (2D)")

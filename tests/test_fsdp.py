@@ -151,3 +151,66 @@ def test_fsdp_composes_with_tp():
         if sum(s is not None for s in leaf.sharding.spec) >= 2
     ]
     assert two_d, "expected at least one (model, data) 2D-sharded kernel"
+
+
+def test_zero1_shards_only_optimizer_state():
+    """param_sharding='zero1': params replicated (no forward all-gather),
+    Adam moments + EMA sharded over 'data'; step equals the replicated run."""
+    from vqgan_tpu.parallel.fsdp import place_state
+
+    model, params = _model_and_params()
+
+    def model_apply(p, x, t, classes, cond_drop_mask=None,
+                    cond_drop_prob=None, rng=None, return_features=False):
+        rngs = {"cond_drop": rng} if rng is not None else None
+        return model.apply(p, x, t, classes, cond_drop_mask=cond_drop_mask,
+                           cond_drop_prob=cond_drop_prob, rngs=rngs,
+                           return_features=return_features)
+
+    diffusion = GaussianDiffusion(
+        model_apply, image_size=8, channels=4, timesteps=20,
+        objective="pred_v", auto_normalize=False)
+    tx = make_ldm_optimizer(learning_rate=1e-3)
+    step_fn = make_ldm_train_step(diffusion, tx, donate=False)
+
+    latents = jax.random.normal(jax.random.PRNGKey(1), (8, 8, 8, 4))
+    classes = jnp.arange(8) % 4
+    rng = jax.random.PRNGKey(42)
+
+    def init_state(p):
+        return LDMTrainState(
+            step=jnp.asarray(0), params=p, opt_state=tx.init(p),
+            ema_params=jax.tree.map(jnp.copy, p))
+
+    s_ref = init_state(jax.tree.map(jnp.copy, params))
+    for _ in range(2):
+        s_ref, log_ref = step_fn(s_ref, latents, classes, rng)
+
+    from vqgan_tpu.parallel.fsdp import pin_state_shardings
+
+    mesh = make_mesh(data=8)
+    with mesh:
+        s_z1 = place_state(init_state(params), mesh, "zero1",
+                           min_size=2 ** 10)
+        pinned = pin_state_shardings(step_fn, s_z1)
+        batch = shard_batch({"latents": latents, "classes": classes}, mesh)
+        for _ in range(2):
+            s_z1, log_z1 = pinned(s_z1, batch["latents"], batch["classes"],
+                                  rng)
+
+    np.testing.assert_allclose(float(log_z1["loss"]), float(log_ref["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s_ref.params),
+                    jax.tree.leaves(s_z1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+    # placement contract: every param replicated, some EMA leaves sharded
+    for leaf in jax.tree.leaves(s_z1.params):
+        assert all(s is None for s in leaf.sharding.spec), leaf.sharding
+    ema_specs = [leaf.sharding.spec
+                 for leaf in jax.tree.leaves(s_z1.ema_params)]
+    assert any(any(s is not None for s in spec) for spec in ema_specs)
+    opt_specs = [leaf.sharding.spec
+                 for leaf in jax.tree.leaves(s_z1.opt_state)
+                 if hasattr(leaf, "sharding")]
+    assert any(any(s is not None for s in spec) for spec in opt_specs)

@@ -40,7 +40,28 @@ __all__ = [
     "fsdp_spec_for",
     "apply_fsdp_sharding",
     "compose_fsdp_with_tp",
+    "pin_state_shardings",
 ]
+
+
+def pin_state_shardings(step_fn, placed_state):
+    """Wrap a `(state, *args) -> (new_state, aux)` step so the updated
+    state keeps the input placement. Needed for the 'zero1' layout: without
+    the constraint GSPMD propagates the sharded Adam-moment layout onto the
+    updated params (drifting zero1 into zero3 after one step); with it the
+    params stay replicated and only the optimizer state lives sharded."""
+    import jax as _jax
+
+    shardings = _jax.tree.map(lambda l: l.sharding, placed_state)
+
+    @_jax.jit
+    def wrapped(state, *args):
+        new_state, aux = step_fn(state, *args)
+        new_state = _jax.tree.map(
+            _jax.lax.with_sharding_constraint, new_state, shardings)
+        return new_state, aux
+
+    return wrapped
 
 _DEFAULT_MIN_SIZE = 2 ** 14  # 16k elements ≈ 64 KiB fp32
 
@@ -126,6 +147,11 @@ def place_state(state: Any, mesh: Mesh, mode: str,
     scalars) under a parameter-sharding policy. Scalars and small leaves
     replicate; everything else follows `sharding_spec_for`.
 
+    mode additionally accepts 'zero1': params stay REPLICATED (no
+    all-gather in the forward, unlike ZeRO-3) while the Adam moments and
+    the EMA copy shard over 'data' — the ZeRO-1 optimizer-state partition,
+    cutting state memory ~2/3 at zero forward-path communication cost.
+
     Multi-process: every process must hold the same host values (seeded
     init / restored checkpoint); each contributes its addressable shards
     through make_array_from_callback, so the same call works on a mesh
@@ -138,7 +164,13 @@ def place_state(state: Any, mesh: Mesh, mode: str,
         import jax.numpy as jnp
 
         leaf = jnp.asarray(leaf) if not hasattr(leaf, "ndim") else leaf
-        spec = sharding_spec_for(path, leaf, mesh, mode, min_size)
+        leaf_mode = mode
+        if mode == "zero1":
+            names = [str(getattr(p, "name", getattr(p, "key", "")))
+                     for p in path]
+            in_opt = any(n in ("opt_state", "ema_params") for n in names)
+            leaf_mode = "fsdp" if in_opt else "replicated"
+        spec = sharding_spec_for(path, leaf, mesh, leaf_mode, min_size)
         sharding = NamedSharding(mesh, spec)
         if not multiproc:
             return jax.device_put(leaf, sharding)

@@ -104,8 +104,8 @@ class LatentDiffusionTrainer:
         param_sharding: str = "replicated",
         fsdp_min_size: Optional[int] = None,
     ):
-        assert param_sharding in ("replicated", "fsdp", "tp", "fsdp_tp"), \
-            param_sharding
+        assert param_sharding in ("replicated", "zero1", "fsdp", "tp",
+                                  "fsdp_tp"), param_sharding
         self.param_sharding = param_sharding
         self.fsdp_min_size = fsdp_min_size
         self.config = cfg = config
@@ -150,6 +150,13 @@ class LatentDiffusionTrainer:
             if use_mesh else None)
         if self.mesh is not None:
             self.state = self._place(self.state)
+            if param_sharding == "zero1":
+                # without the pin, GSPMD propagates the moment shardings
+                # onto the updated params (zero1 would drift into zero3)
+                from ..parallel.fsdp import pin_state_shardings
+
+                self.train_step = pin_state_shardings(
+                    self.train_step, self.state)
 
         # frozen VAE decoder for visualization (optional)
         self.vae = None
