@@ -212,11 +212,15 @@ class LatentDiffusionTrainer:
         t0 = time.time()
         start = int(jax.device_get(self.state.step))
         pending = None  # (step, device scalar) — one-step-delayed NaN check
+        from ..data.prefetch import device_prefetch
+
+        pre = device_prefetch(
+            it, lambda b: (self._put(jnp.asarray(b[0])),
+                           self._put(jnp.asarray(b[1]))), depth=2)
         for step in range(start, num_steps):
-            latents, labels = next(it)
+            _, (latents_dev, labels_dev) = next(pre)
             self.state, log = self.train_step(
-                self.state, self._put(jnp.asarray(latents)),
-                self._put(jnp.asarray(labels)), self._rng)
+                self.state, latents_dev, labels_dev, self._rng)
 
             # Per-step health check (reference train_latent_cfg.py:653-671
             # checks EVERY step). Pipelined: fetch the PREVIOUS step's loss

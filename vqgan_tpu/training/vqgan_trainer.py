@@ -214,16 +214,20 @@ class VQGANTrainer:
         t0 = time.time()
         start = int(jax.device_get(self.state.step))
         pending = None  # (step, device scalar) — one-step-delayed NaN check
+        from ..data.prefetch import device_prefetch
+
+        pre = device_prefetch(
+            it, lambda b: self._put(jnp.asarray(b[0])), depth=2)
         for step in range(start, num_steps):
-            images, _ = next(it)
+            (images, _), images_dev = next(pre)
             self.state, log = self.dispatch_step(
-                self.state, self._put(jnp.asarray(images)), step)
+                self.state, images_dev, step)
 
             if self._revive_every:
                 self._usage_accum = self._usage_accum + log["usage_counts"]
                 if (step + 1) % self._revive_every == 0:
                     self.state, n_revived = self._revive_step(
-                        self.state, self._put(jnp.asarray(images)),
+                        self.state, images_dev,
                         self._usage_accum,
                         jax.random.fold_in(
                             jax.random.PRNGKey(cfg.seed ^ 0x5EED), step))
