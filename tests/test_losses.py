@@ -131,3 +131,32 @@ def test_infonce_perfect_alignment():
     k_shuffled = q[::-1]
     loss_shuffled = infonce_loss(q, k_shuffled, temperature=0.07)
     assert float(loss_aligned) < float(loss_shuffled)
+
+
+def test_supcon_matches_torch_reference():
+    """Same inputs -> same loss as the installed reference SupConLoss
+    (/root/reference/losses.py:73, the round-1 view-ordering bug regression
+    pin), across labeled, multiview, and unsupervised modes."""
+    import importlib.util
+
+    import numpy as np
+    import torch
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_supcon", "/root/reference/losses.py")
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    rng = np.random.default_rng(0)
+    for n_views, labels in ((2, [0, 1, 0, 2]), (3, [1, 1, 0, 0]),
+                            (2, None)):
+        f = rng.normal(size=(4, n_views, 8)).astype(np.float32)
+        f = f / np.linalg.norm(f, axis=-1, keepdims=True)
+        want = ref.SupConLoss(temperature=0.1)(
+            torch.from_numpy(f),
+            None if labels is None else torch.tensor(labels))
+        got = supcon_loss(jnp.asarray(f),
+                          None if labels is None else jnp.asarray(labels),
+                          temperature=0.1, base_temperature=0.07)
+        np.testing.assert_allclose(float(got), float(want), rtol=1e-5,
+                                   err_msg=f"views={n_views}")
