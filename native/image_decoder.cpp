@@ -88,6 +88,15 @@ int decode_one(const char *path, int image_size, float *dst) {
   FILE *f = std::fopen(path, "rb");
   if (!f) return -1;
 
+  // Every automatic object with a non-trivial destructor is constructed
+  // BEFORE setjmp: a longjmp back into this frame then returns through the
+  // error branch, which destroys them normally on function exit. Declaring
+  // them after setjmp would make the longjmp skip their initialization —
+  // UB, and in practice a leak per corrupt JPEG.
+  std::vector<unsigned char> row;
+  std::vector<float> tmp;
+  Filter fx, fy;
+
   jpeg_decompress_struct cinfo;
   ErrMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
@@ -111,13 +120,13 @@ int decode_one(const char *path, int image_size, float *dst) {
   const double scale = double(S) / std::min(w, h);
   const int rw = std::max(S, int(std::lround(w * scale)));
   const int rh = std::max(S, int(std::lround(h * scale)));
-  const Filter fx = make_filter(w, rw);
-  const Filter fy = make_filter(h, rh);
+  fx = make_filter(w, rw);
+  fy = make_filter(h, rh);
 
   // horizontal pass fused with scanline decode: uint8 row → float [rw*3]
-  std::vector<unsigned char> row(size_t(w) * ch);
+  row.resize(size_t(w) * ch);
   unsigned char *rowp = row.data();
-  std::vector<float> tmp(size_t(h) * rw * 3);
+  tmp.resize(size_t(h) * rw * 3);
   constexpr float k1_255 = 1.0f / 255.0f;
   for (int y = 0; y < h; ++y) {
     jpeg_read_scanlines(&cinfo, &rowp, 1);

@@ -151,3 +151,24 @@ def test_dit_pipeline_forward_matches_sequential():
                                num_microbatches=2, cond_drop_mask=mask)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=1e-5)
+
+
+def test_dit_pipeline_forward_without_mask():
+    """Inference callers may omit cond_drop_mask: the pipelined forward must
+    not reach make_rng("cond_drop") even when the model's default
+    cond_drop_prob is nonzero (ADVICE r2: embed raised for the missing rng)."""
+    from vqgan_tpu.parallel.pp import make_pipeline_mesh
+
+    model = tiny_dit(depth=4, cond_drop_prob=0.1)
+    v = init_model(model, b=4)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 8, 8, 4))
+    t = jnp.array([1, 2, 3, 4])
+    classes = jnp.array([0, 1, 2, 3])
+
+    mesh = make_pipeline_mesh(stages=4)
+    got = dit_pipeline_forward(model, v, x, t, classes, mesh,
+                               num_microbatches=2)
+    want = model.apply(v, x, t, classes,
+                       cond_drop_mask=jnp.zeros((4,), bool))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=1e-5)

@@ -1,9 +1,9 @@
 """ctypes bindings for the native JPEG batch decoder (native/image_decoder.cpp).
 
 Compiled on first use with g++ against the system libjpeg (cached next to
-the latent batch loader's .so; rebuilt when the .cpp changes) and falls back
-to the PIL path when no compiler or libjpeg is available — callers never
-need to care.
+the latent batch loader's .so; rebuilt when the content hash of the .cpp or
+compile command changes — see _native_build.py) and falls back to the PIL
+path when no compiler or libjpeg is available — callers never need to care.
 
 `decode_jpeg_batch(paths, image_size)` returns a contiguous
 [n, S, S, 3] float32 [0,1] NHWC batch: libjpeg decode → PIL-equivalent
@@ -16,11 +16,12 @@ tests/test_native_image.py.
 from __future__ import annotations
 
 import ctypes
-import subprocess
 from pathlib import Path
 from typing import Optional, Sequence
 
 import numpy as np
+
+from vqgan_tpu.data._native_build import build_native_lib
 
 __all__ = ["load_decoder_lib", "decode_jpeg_batch"]
 
@@ -36,15 +37,9 @@ def load_decoder_lib() -> Optional[ctypes.CDLL]:
     if _lib_cache is not None or _lib_failed:
         return _lib_cache
     try:
-        _LIB_DIR.mkdir(exist_ok=True)
-        so = _LIB_DIR / "image_decoder.so"
-        if (not so.exists()
-                or so.stat().st_mtime < _SRC.stat().st_mtime):
-            subprocess.run(
-                ["g++", "-O3", "-march=native", "-funroll-loops",
-                 "-shared", "-fPIC", "-std=c++17",
-                 "-o", str(so), str(_SRC), "-ljpeg", "-lpthread"],
-                check=True, capture_output=True)
+        so = build_native_lib(
+            _SRC, _LIB_DIR / "image_decoder.so",
+            ["-funroll-loops", "-ljpeg", "-lpthread"])
         lib = ctypes.CDLL(str(so))
         lib.decode_jpeg_batch.restype = ctypes.c_int
         lib.decode_jpeg_batch.argtypes = [

@@ -1,8 +1,9 @@
 """ctypes bindings for the native C++ batch assembler (native/batch_loader.cpp).
 
 Builds the shared library on first use with g++ (cached next to the source;
-rebuilt when the .cpp changes) and falls back to a pure-numpy path when no
-compiler is available — callers never need to care.
+rebuilt when the content hash of the .cpp or compile command changes — see
+_native_build.py) and falls back to a pure-numpy path when no compiler is
+available — callers never need to care.
 
 `NativeLatentBatcher` serves fixed-shape latent batches from the .npy cache:
 npy headers are parsed ONCE at construction; every batch after that is a
@@ -12,12 +13,12 @@ single C call fanning pread() workers into one contiguous buffer.
 from __future__ import annotations
 
 import ctypes
-import os
-import subprocess
 from pathlib import Path
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
+
+from vqgan_tpu.data._native_build import build_native_lib
 
 __all__ = ["load_native_lib", "NativeLatentBatcher"]
 
@@ -33,14 +34,8 @@ def load_native_lib() -> Optional[ctypes.CDLL]:
     if _lib_cache is not None or _lib_failed:
         return _lib_cache
     try:
-        _LIB_DIR.mkdir(exist_ok=True)
-        so = _LIB_DIR / "batch_loader.so"
-        if (not so.exists()
-                or so.stat().st_mtime < _SRC.stat().st_mtime):
-            subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                 "-o", str(so), str(_SRC), "-lpthread"],
-                check=True, capture_output=True)
+        so = build_native_lib(
+            _SRC, _LIB_DIR / "batch_loader.so", ["-lpthread"])
         lib = ctypes.CDLL(str(so))
         lib.batch_read.restype = ctypes.c_int
         lib.batch_read.argtypes = [

@@ -219,8 +219,12 @@ def dit_pipeline_forward(model: DiT, variables, x, time, classes, mesh, *,
     """
     from ..parallel.pp import pipeline_apply, shard_stacked_params
 
+    # inference path: force cond_drop_prob=0.0 so embed never reaches
+    # make_rng("cond_drop") when no explicit mask is supplied (flax would
+    # raise for the missing rng); CFG dropout belongs to training callers,
+    # who pass cond_drop_mask explicitly
     tokens, c = model.apply(
-        variables, x, time, classes, cond_drop_mask, method=DiT.embed)
+        variables, x, time, classes, cond_drop_mask, 0.0, method=DiT.embed)
 
     blk = DiTBlock(model.dim, model.heads, model.dim_head, model.mlp_mult,
                    dtype=model.dtype)

@@ -139,10 +139,15 @@ def pipeline_apply(
                             h, params_local)[0]
 
         fwd_perm = [(i, i + 1) for i in range(S - 1)]
-        # bubble ticks feed zeros; their outputs never reach the valid slice
+        # bubble ticks feed a COPY of the first microbatch (not zeros):
+        # the outputs are discarded either way, but real data keeps every
+        # intermediate finite — a block whose backward multiplies cotangents
+        # by data-dependent factors (e.g. an unguarded 1/norm) would
+        # otherwise accumulate 0*inf = NaN into the shared parameter
+        # gradients through the tick scan
         ticks = jax.tree.map(
             lambda l: jnp.concatenate(
-                [l, jnp.zeros((S - 1,) + l.shape[1:], l.dtype)], axis=0),
+                [l, jnp.broadcast_to(l[:1], (S - 1,) + l.shape[1:])], axis=0),
             mb)  # [M+S-1, mb, ...]
 
         def tick(recv, mb_t):
@@ -156,8 +161,11 @@ def pipeline_apply(
                    else jax.tree.map(jnp.zeros_like, out))
             return nxt, out
 
-        zero0 = jax.tree.map(lambda l: jnp.zeros_like(l[0]), mb)
-        _, outs = lax.scan(tick, zero0, ticks)
+        # initial recv carry: first microbatch again (same finiteness
+        # argument as the bubble ticks — stages >0 consume it in tick 0
+        # and discard the result)
+        warm0 = jax.tree.map(lambda l: l[0], mb)
+        _, outs = lax.scan(tick, warm0, ticks)
         # last stage's outputs for ticks [S-1, S-1+M) are the results;
         # psum over 'stage' (zeros elsewhere) replicates them to all stages
         valid = jax.tree.map(
