@@ -50,6 +50,7 @@ class VQGANTrainer:
         lpips_params=None,
         use_mesh: bool = True,
         step_mode: str = "split",
+        fast_compile: bool = False,
     ):
         assert step_mode in ("split", "fused"), step_mode
         self.config = config
@@ -110,6 +111,7 @@ class VQGANTrainer:
             disc_loss_type=cfg.disc_loss_type,
             perceptual_fn=perceptual_loss_fn(lpips_params, self.lpips),
             use_adaptive_weight=cfg.use_adaptive_weight,
+            fast_compile=fast_compile,
         )
         # "split" (default): two back-to-back programs — the production
         # path. Compiles minutes-not-hours on this environment's remote TPU
