@@ -55,10 +55,43 @@ def main():
     ap.add_argument("--resume_from_checkpoint", default=None,
                     help="'latest' or a milestone number")
     ap.add_argument("--seed", type=int, default=42)
-    # head-dim divisibility validation, mirroring :390-396
-    ap.add_argument("--attention_head_dim", type=int, default=64)
+    ap.add_argument("--dim_mults", default="1,2,4,4",
+                    help="csv per-level width multipliers (the reference's "
+                         "csv block_out_channels, :380-381)")
+    ap.add_argument("--attention_head_dim", default="64",
+                    help="attention head dim; csv per level accepted like "
+                         "the reference (:381), uniform values required")
     ap.add_argument("--model_dim", type=int, default=96)
     args = ap.parse_args()
+
+    # csv parsing + validation with the reference's error semantics
+    # (train_stage1_diffusers.py:380-396): per-level lengths must agree,
+    # level channels must divide by the head dim, and head dims must be a
+    # multiple of 8 (xformers' rule there; the TPU lane-alignment rule for
+    # the Pallas flash-attention kernel here).
+    try:
+        dim_mults = tuple(int(x) for x in str(args.dim_mults).split(","))
+        head_dims = tuple(
+            int(x) for x in str(args.attention_head_dim).split(","))
+    except ValueError:
+        ap.error("--dim_mults / --attention_head_dim must be csv integers")
+    if len(head_dims) not in (1, len(dim_mults)):
+        ap.error(
+            f"attention_head_dim length ({len(head_dims)}) must be 1 or "
+            f"equal dim_mults length ({len(dim_mults)})")
+    if len(set(head_dims)) > 1:
+        ap.error("per-level head dims must be uniform in this build "
+                 f"(got {head_dims})")
+    head_dim = head_dims[0]
+    channels = tuple(args.model_dim * m for m in dim_mults)
+    for i, ch in enumerate(channels):
+        if ch % head_dim != 0:
+            ap.error(f"Layer {i}: {ch} channels not divisible by "
+                     f"head_dim={head_dim}")
+    if head_dim % 8 != 0:
+        ap.error(f"head_dim={head_dim} must be a multiple of 8 "
+                 "(TPU lane alignment; the reference enforces the same "
+                 "multiple-of-8 rule for xformers)")
 
     from vqgan_tpu.configs import LDMConfig
     from vqgan_tpu.training.ldm_trainer import LatentDiffusionTrainer
@@ -74,7 +107,8 @@ def main():
         image_size=args.resolution,
         latent_size=args.resolution // 8,
         dim=args.model_dim,
-        attn_dim_head=args.attention_head_dim,
+        dim_mults=dim_mults,
+        attn_dim_head=head_dim,
         train_batch_size=args.train_batch_size,
         train_num_steps=args.max_train_steps,
         train_lr=args.learning_rate,

@@ -88,3 +88,32 @@ def test_cli_error_paths(tmp_path):
               "--output", str(bad), "--verify"])
     assert r.returncode == 1
     assert "overlap" in r.stdout
+
+
+def test_diffusers_cli_validates_head_dim_like_reference():
+    """The adapter enforces the reference's parse_args rules
+    (train_stage1_diffusers.py:380-396): csv parsing, per-level
+    divisibility, and the multiple-of-8 head-dim rule."""
+    script = str(CLI / "train_stage1_diffusers.py")
+
+    # channels (model_dim*mult) not divisible by head_dim
+    r = _run([script, "--model_dim", "96", "--dim_mults", "1,2,4,4",
+              "--attention_head_dim", "80"])
+    assert r.returncode != 0
+    assert "not divisible" in r.stderr
+
+    # head_dim not a multiple of 8
+    r = _run([script, "--model_dim", "96", "--attention_head_dim", "12"])
+    assert r.returncode != 0
+    assert "multiple of 8" in r.stderr
+
+    # csv head dims: length mismatch with dim_mults
+    r = _run([script, "--dim_mults", "1,2,4,4",
+              "--attention_head_dim", "64,64"])
+    assert r.returncode != 0
+    assert "length" in r.stderr
+
+    # non-integer csv
+    r = _run([script, "--dim_mults", "1,2,x"])
+    assert r.returncode != 0
+    assert "csv integers" in r.stderr

@@ -153,3 +153,43 @@ def test_ema_update_moves_codebook_toward_data():
     # code 0 should move toward (1,1); others stay near 0
     assert float(cb[0, 0]) > 0.5
     np.testing.assert_allclose(np.asarray(cb[1:]), 0.0, atol=1e-2)
+
+
+def test_auto_dispatch_policy(monkeypatch):
+    """Pin the measured shape policy (BASELINE.md VQ roofline table): kernel
+    at K<=2048 and K>=16384 on TPU, XLA in the tied middle and always on the
+    CPU test platform; env var overrides both ways."""
+    from vqgan_tpu.ops.vq import auto_use_kernel
+
+    monkeypatch.delenv("VQGAN_TPU_VQ_KERNEL", raising=False)
+    # measured winners on TPU
+    assert auto_use_kernel(1024, on_tpu=True)
+    assert auto_use_kernel(2048, on_tpu=True)
+    assert auto_use_kernel(16384, on_tpu=True)
+    assert auto_use_kernel(32768, on_tpu=True)
+    # statistical tie at the reference config -> XLA (compile-time cost)
+    assert not auto_use_kernel(8192, on_tpu=True)
+    assert not auto_use_kernel(4096, on_tpu=True)
+    # Mosaic kernels cannot run on the CPU platform
+    assert not auto_use_kernel(1024, on_tpu=False)
+    # platform auto-detection: this suite runs on CPU
+    assert not auto_use_kernel(1024)
+    # env overrides win in both directions
+    monkeypatch.setenv("VQGAN_TPU_VQ_KERNEL", "1")
+    assert auto_use_kernel(8192, on_tpu=True)
+    monkeypatch.setenv("VQGAN_TPU_VQ_KERNEL", "0")
+    assert not auto_use_kernel(1024, on_tpu=True)
+
+
+def test_auto_dispatch_runs_in_training_graph():
+    """use_kernel="auto" must trace cleanly inside jit/grad on this (CPU)
+    platform, resolving to the XLA path."""
+    z, cb = _data(jax.random.PRNGKey(5), 16, 8, 1024)
+
+    @jax.jit
+    def loss(z, cb):
+        z_q, _, _ = vq_lookup(z, cb, "auto", False)
+        return jnp.mean((z_q - z) ** 2)
+
+    g = jax.grad(loss, argnums=1)(z, cb)
+    assert np.isfinite(np.asarray(g)).all()

@@ -36,6 +36,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = [
+    "auto_use_kernel",
     "vq_lookup",
     "vq_lookup_reference",
     "codebook_usage",
@@ -309,7 +310,8 @@ def vq_lookup(z, codebook, use_kernel: str | bool = "auto",
               interpret: bool = False):
     """Nearest-codebook lookup. z: [N, D], codebook: [K, D].
 
-    use_kernel: "auto" (env-dispatched), True (Pallas, bf16 MXU cross-term —
+    use_kernel: "auto" (shape-dispatched per the measured policy in
+    `auto_use_kernel`, env-overridable), True (Pallas, bf16 MXU cross-term —
     the fast path), "fp32" (Pallas, exact fp32 distances), False (XLA).
 
     Returns (z_q [N, D], indices [N] int32, usage [K] int32).
@@ -320,37 +322,50 @@ def vq_lookup(z, codebook, use_kernel: str | bool = "auto",
     return out
 
 
+def auto_use_kernel(num_codes: int, on_tpu: bool | None = None) -> bool:
+    """The measured dispatch policy for use_kernel="auto" (v5e, N=8192,
+    D=256, cli/bench_vq.py + component probes):
+
+      XLA path:  HBM-bound. The [N, K] fp32 score matrix round-trips
+                 HBM (2·N·K·4 B = 536 MB at K=8192 ≈ 655 µs at
+                 819 GB/s); measured 858 µs end-to-end. XLA's bare
+                 bf16 dot+reduce on the same shape measures 862 µs —
+                 the argmin itself is fully hidden behind the traffic.
+      kernel:    MXU-bound. Scores never leave VMEM; the floor is the
+                 distance matmul at the short D=256 contraction
+                 (~640 µs ≈ 27% of bf16 peak — pipeline-fill bound,
+                 layout-independent: NT vs NN transposed codebook
+                 measured equal) + ~80 µs packed argmin + take.
+                 Measured 879 µs end-to-end at K=8192; 586 µs at
+                 K=1024 (1.27× over XLA) and 977 µs at K=16384 (1.09×).
+
+    Policy: the kernel wins where the XLA score traffic is small enough to
+    leave it matmul-bound (K ≤ 2048) and where the traffic is so large the
+    VMEM-resident scores dominate (K ≥ 16384); at the reference config
+    (K=8192) the two sit on their respective rooflines in a statistical
+    tie, and XLA stays the default there because embedding the Pallas
+    custom call in the big training backward costs ~6 min of extra compile
+    through this environment's remote Mosaic pipeline (375 s vs 19 s
+    measured on the full VQ-VAE backward). Env overrides both ways:
+    VQGAN_TPU_VQ_KERNEL=1 forces the kernel, =0 forces XLA.
+
+    Off-TPU (the CPU test platform) the Mosaic kernel can only run in
+    interpret mode, so auto always resolves to XLA there.
+    """
+    import os
+
+    env = os.environ.get("VQGAN_TPU_VQ_KERNEL")
+    if env in ("0", "1"):
+        return env == "1"
+    if on_tpu is None:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    return on_tpu and (num_codes <= 2048 or num_codes >= 16384)
+
+
 def _dispatch(z, codebook, use_kernel, interpret):
     if use_kernel == "auto":
-        import os
-
-        # Dispatch policy, grounded in measured rooflines (v5e, N=8192,
-        # D=256, cli/bench_vq.py + component probes):
-        #
-        #   XLA path:  HBM-bound. The [N, K] fp32 score matrix round-trips
-        #              HBM (2·N·K·4 B = 536 MB at K=8192 ≈ 655 µs at
-        #              819 GB/s); measured 858 µs end-to-end. XLA's bare
-        #              bf16 dot+reduce on the same shape measures 862 µs —
-        #              the argmin itself is fully hidden behind the traffic.
-        #   kernel:    MXU-bound. Scores never leave VMEM; the floor is the
-        #              distance matmul at the short D=256 contraction
-        #              (~640 µs ≈ 27% of bf16 peak — pipeline-fill bound,
-        #              layout-independent: NT vs NN transposed codebook
-        #              measured equal) + ~80 µs packed argmin + take.
-        #              Measured 879 µs end-to-end at K=8192; 586 µs at
-        #              K=1024 (1.27× over XLA) and 977 µs at K=16384
-        #              (1.09×).
-        #
-        # At the reference config (K=8192) the two are a statistical tie —
-        # both sit on their respective rooflines — so the default stays XLA
-        # for big TRAINING graphs: embedding the Pallas custom call there
-        # costs ~6 min of extra compile through this environment's remote
-        # Mosaic pipeline (375 s vs 19 s measured on the full VQ-VAE
-        # backward). The kernel also frees 536 MB/step of HBM bandwidth for
-        # the surrounding layers, which matters when the VQ op runs inside
-        # a bandwidth-starved step; opt in with VQGAN_TPU_VQ_KERNEL=1 or
-        # use_kernel=True (encode/serving paths, small codebooks).
-        use_kernel = os.environ.get("VQGAN_TPU_VQ_KERNEL") == "1"
+        use_kernel = auto_use_kernel(codebook.shape[0],
+                                     on_tpu=True if interpret else None)
     if use_kernel:
         return _vq_forward_pallas(z, codebook, interpret=interpret,
                                   mxu_bf16=(use_kernel != "fp32"))
