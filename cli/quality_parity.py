@@ -142,7 +142,7 @@ def run_torch(cfg, images, steps, indices, eval_points, models):
     gen_params = (list(encoder.parameters()) + list(decoder.parameters())
                   + list(quant.parameters()))
     opt_g = torch.optim.Adam(gen_params, lr=cfg["lr"], betas=(0.5, 0.9))
-    opt_d = torch.optim.Adam(disc.parameters(), lr=cfg["lr"],
+    opt_d = torch.optim.Adam(disc.parameters(), lr=cfg["disc_lr"],
                              betas=(0.5, 0.9))
     eval_x = torch.from_numpy(
         images[:cfg["eval_n"]].transpose(0, 3, 1, 2)).float()
@@ -242,7 +242,7 @@ def run_jax(cfg, images, steps, indices, eval_points, gen_state, disc_state):
         return disc.apply({**params, **stats}, x, train=False), stats
 
     opt_g, opt_d = make_gan_optimizers(
-        learning_rate=cfg["lr"], disc_learning_rate=cfg["lr"],
+        learning_rate=cfg["lr"], disc_learning_rate=cfg["disc_lr"],
         betas=(0.5, 0.9), max_grad_norm=1.0)
     g_step, d_step = make_vqgan_split_steps(
         vqvae_apply, disc_apply, opt_g, opt_d,
@@ -294,20 +294,24 @@ def pin_cpu_fp32():
 
 
 def run_parity(steps=300, size=48, batch=8, n_images=64, eval_every=25,
-               lr=1e-3, disc_start=None, verbose=True):
-    """disc_start=None → steps//2. Note on LR: GAN dynamics at lr≳1e-3 are
-    chaotic at this scale — fp-noise-level differences between frameworks
-    get amplified into divergent fates (observed: torch collapse vs jax
-    stable from identical init), which says nothing about parity. Use
-    disc_start=steps (pure recon+VQ, tightly deterministic) for the main
-    parity metric and a conservative LR (the reference ships 4.5e-5) for the
-    GAN-phase comparison."""
+               lr=1e-3, disc_lr=None, disc_weight=0.1, disc_start=None,
+               verbose=True):
+    """disc_start=None → steps//2; disc_lr=None → lr. Note on LR: GAN
+    dynamics at lr≳1e-3 are chaotic at this scale — fp-noise-level
+    differences between frameworks get amplified into divergent fates
+    (observed: torch collapse vs jax stable from identical init), which says
+    nothing about parity. Use disc_start=steps (pure recon+VQ, tightly
+    deterministic) for the main parity metric, and for the GAN-phase
+    comparison pick a config where BOTH sides are stable: conservative G lr,
+    a lower D lr, and a small disc_weight (the reference's own stability
+    levers — train_vqgan.py lr 4.5e-5, disc_weight 0.1, disc_start 10000)."""
     cfg = dict(
         ch=32, ch_mult=(1, 2), num_res_blocks=1, attn_resolutions=(8,),
         z_channels=32, num_embeddings=64, embedding_dim=32,
         commitment_cost=0.25, disc_ndf=16, disc_n_layers=2,
         disc_start=steps // 2 if disc_start is None else disc_start,
-        disc_weight=0.1, lr=lr, size=size,
+        disc_weight=disc_weight, lr=lr,
+        disc_lr=lr if disc_lr is None else disc_lr, size=size,
         eval_n=min(8, n_images),
     )
     images = make_synthetic_images(n_images, size)
@@ -341,6 +345,21 @@ def run_parity(steps=300, size=48, batch=8, n_images=64, eval_every=25,
                    for k, v in cfg.items()},
         "steps": steps,
     }
+    # Adversarial-phase tracking statistics: single eval points are noisy
+    # in a GAN (both sides show transient dips that recover), so the
+    # trajectory comparison after disc_start is summarized by median/mean
+    # gap alongside the worst point.
+    post = [r for r in rows if r["step"] > cfg["disc_start"]]
+    if post:
+        gaps = sorted(abs(r["jax_psnr"] - r["torch_psnr"]) for r in post)
+        verdict["post_disc_start"] = {
+            "eval_points": len(post),
+            "median_gap_db": round(gaps[len(gaps) // 2], 3),
+            "mean_gap_db": round(sum(gaps) / len(gaps), 3),
+            "max_gap_db": round(gaps[-1], 3),
+            "min_psnr_torch": round(min(r["torch_psnr"] for r in post), 3),
+            "min_psnr_jax": round(min(r["jax_psnr"] for r in post), 3),
+        }
     return rows, verdict
 
 
@@ -351,6 +370,9 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--eval_every", type=int, default=25)
     ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--disc_lr", type=float, default=None,
+                    help="discriminator LR (default: same as --lr)")
+    ap.add_argument("--disc_weight", type=float, default=0.1)
     ap.add_argument("--disc_start", type=int, default=None,
                     help="step at which the discriminator starts (default "
                          "steps//2; pass --disc_start <steps> to disable)")
@@ -365,7 +387,9 @@ def main():
         pin_cpu_fp32()
     rows, verdict = run_parity(steps=args.steps, size=args.size,
                                batch=args.batch, eval_every=args.eval_every,
-                               lr=args.lr, disc_start=args.disc_start)
+                               lr=args.lr, disc_lr=args.disc_lr,
+                               disc_weight=args.disc_weight,
+                               disc_start=args.disc_start)
     out = Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)
     out.write_text(json.dumps({"rows": rows, "verdict": verdict}, indent=1))

@@ -1,0 +1,128 @@
+"""Ahead-of-time serving artifacts via jax.export (StableHLO).
+
+The reference serves by loading a torch checkpoint and re-running Python
+model code (generate.py:45-139). A TPU-native production deployment wants
+an artifact that is independent of the model-building Python: this module
+exports any jitted program — in particular the full CFG sampling pipeline
+(DDIM scan + VAE decode, the generate.py hot path) — as a serialized
+StableHLO module with its parameters, reloadable and executable with no
+vqgan_tpu model code on the serving host.
+
+Artifact layout (a directory):
+    program.bin    serialized jax.export.Exported (StableHLO + calling conv)
+    params.npz     flattened parameter arrays
+    meta.json      treedef + arg structure + export platforms + config
+
+Exported modules are platform-checked at call time (export for "tpu" to
+serve on TPU; "cpu" artifacts serve anywhere jax runs). The serialization
+format carries jax.export's compatibility guarantees for StableHLO.
+
+Example:
+    fn = lambda params, key, classes: diffusion.sample(params, key,
+                                                       classes=classes)
+    export_cfg_sampler(fn, params, example_args, outdir)
+    ...
+    sampler = load_cfg_sampler(outdir)       # no model code needed
+    images = sampler(key, classes)
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Callable, Sequence
+
+import jax
+import numpy as np
+from jax import export as jax_export
+
+__all__ = [
+    "export_program",
+    "load_program",
+    "export_cfg_sampler",
+    "load_cfg_sampler",
+]
+
+
+def _specs(tree):
+    return jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype),
+        tree)
+
+
+def export_program(fn: Callable, example_args: Sequence[Any], path,
+                   platforms: Sequence[str] | None = None) -> None:
+    """Serialize jit(fn) lowered at example_args' shapes to `path` (a file).
+
+    platforms: lowering platforms recorded in the artifact (default: the
+    current default backend). An artifact exported for ["tpu"] can only be
+    called on TPU; export for ["cpu", "tpu"] to get a portable module at
+    the cost of lowering twice.
+    """
+    exp = jax_export.export(
+        jax.jit(fn),
+        platforms=list(platforms) if platforms else None,
+    )(*_specs(tuple(example_args)))
+    Path(path).write_bytes(exp.serialize())
+
+
+def load_program(path) -> Callable:
+    """Deserialize an exported program; returns a callable running it via
+    the current backend (jax.jit over Exported.call keeps dispatch fast)."""
+    exp = jax_export.deserialize(Path(path).read_bytes())
+    return jax.jit(exp.call)
+
+
+# --------------------------------------------------------------------------
+# the generate.py serving surface: params baked into the artifact directory
+
+
+def export_cfg_sampler(fn: Callable, params: Any,
+                       example_args: Sequence[Any], outdir,
+                       platforms: Sequence[str] | None = None,
+                       config: dict | None = None) -> None:
+    """Export `fn(params, *example_args)` plus its params as a
+    self-contained serving directory.
+
+    fn's first argument must be the param pytree; the remaining arguments
+    (e.g. PRNG key, class labels) stay call-time inputs.
+    """
+    outdir = Path(outdir)
+    outdir.mkdir(parents=True, exist_ok=True)
+
+    leaves, treedef = jax.tree.flatten(params)
+    np.savez(outdir / "params.npz",
+             **{str(i): np.asarray(l) for i, l in enumerate(leaves)})
+
+    def flat_fn(flat_params, *args):
+        p = jax.tree.unflatten(treedef, list(flat_params))
+        return fn(p, *args)
+
+    export_program(flat_fn, (tuple(leaves),) + tuple(example_args),
+                   outdir / "program.bin", platforms=platforms)
+
+    meta = {
+        "treedef": str(treedef),
+        "n_params": len(leaves),
+        "arg_shapes": [list(np.shape(a)) for a in example_args],
+        "arg_dtypes": [str(np.asarray(a).dtype) for a in example_args],
+        "platforms": list(platforms) if platforms else None,
+        "config": config or {},
+    }
+    (outdir / "meta.json").write_text(json.dumps(meta, indent=1))
+
+
+def load_cfg_sampler(outdir) -> Callable:
+    """Load a serving directory; returns `call(*args)` with params bound.
+
+    Needs only jax + numpy on the serving host — no vqgan_tpu model code.
+    """
+    outdir = Path(outdir)
+    data = np.load(outdir / "params.npz")
+    leaves = tuple(data[str(i)] for i in range(len(data.files)))
+    run = load_program(outdir / "program.bin")
+
+    def call(*args):
+        return run(leaves, *args)
+
+    return call
