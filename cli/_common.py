@@ -1,11 +1,27 @@
-"""Shared CLI plumbing: repo path setup and VAE checkpoint loading."""
+"""Shared CLI plumbing: repo path setup, platform override, VAE loading."""
 
+import os
 import sys
 from pathlib import Path
 
 REPO = Path(__file__).parent.parent
 if str(REPO) not in sys.path:
     sys.path.insert(0, str(REPO))
+
+# Optional platform override for every CLI (e.g. VQGAN_TPU_PLATFORM=cpu for
+# a TPU-less dev box, or when the TPU tunnel is down). JAX_PLATFORMS in the
+# environment is NOT enough here: this environment's sitecustomize imports
+# jax and registers the TPU plugin before any CLI runs, so the value must be
+# pushed into the live config and already-initialized backends dropped —
+# same mechanism as tests/conftest.py.
+_platform = os.environ.get("VQGAN_TPU_PLATFORM")
+if _platform:
+    import jax
+
+    jax.config.update("jax_platforms", _platform)
+    from jax._src import xla_bridge
+
+    xla_bridge._clear_backends()
 
 
 def load_vae(vae_path: str, latent_channels: int = 4, image_size: int = 256,

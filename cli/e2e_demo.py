@@ -109,6 +109,9 @@ def main():
     ap.add_argument("--imgs_per_user", type=int, default=30)
     ap.add_argument("--image_size", type=int, default=256)
     ap.add_argument("--vae_steps", type=int, default=400)
+    ap.add_argument("--vae_lr", type=float, default=1e-4)
+    ap.add_argument("--vae_lr_schedule", choices=["constant", "cosine"],
+                    default="cosine")
     ap.add_argument("--ldm_steps", type=int, default=600)
     ap.add_argument("--vqgan_steps", type=int, default=250)
     ap.add_argument("--gen_per_user", type=int, default=8)
@@ -160,7 +163,8 @@ def main():
                 "--results_folder", str(vae_dir),
                 "--image_size", str(a.image_size),
                 "--train_steps", str(a.vae_steps),
-                "--save_every", "400", "--lr", "1e-4")),
+                "--save_every", "400", "--lr", str(a.vae_lr),
+                "--lr_schedule", a.vae_lr_schedule)),
         "vae_report": dict(
             artifact=ws / "vae_reconstruction" / "metrics.json",
             run=lambda: run_cli(

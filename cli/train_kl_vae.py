@@ -23,6 +23,11 @@ def main():
     ap.add_argument("--latent_channels", type=int, default=4)
     ap.add_argument("--batch_size", type=int, default=8)
     ap.add_argument("--lr", type=float, default=4.5e-6)
+    ap.add_argument("--lr_schedule", choices=["constant", "cosine"],
+                    default="constant",
+                    help="cosine: linear warmup (5%% of steps) then cosine "
+                         "decay to lr/20 — crosses the reference's >30 dB "
+                         "'very good' tier faster on short budgets")
     ap.add_argument("--train_steps", type=int, default=50000)
     ap.add_argument("--kl_weight", type=float, default=1e-6)
     ap.add_argument("--perceptual_weight", type=float, default=0.0,
@@ -71,7 +76,14 @@ def main():
             l1 = jnp.mean(jnp.abs(recon - inputs))
             return {"total": l1 + w * p, "perceptual": p}
 
-    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(args.lr))
+    if args.lr_schedule == "cosine":
+        lr = optax.warmup_cosine_decay_schedule(
+            init_value=args.lr / 10, peak_value=args.lr,
+            warmup_steps=max(1, args.train_steps // 20),
+            decay_steps=args.train_steps, end_value=args.lr / 20)
+    else:
+        lr = args.lr
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(lr))
     opt_state = tx.init(params)
 
     @jax.jit
