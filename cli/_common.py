@@ -23,6 +23,14 @@ if _platform:
 
     xla_bridge._clear_backends()
 
+# Persistent XLA compile cache for every CLI. The big sampling/training
+# graphs take minutes to compile through the remote-TPU tunnel; bench.py
+# already warms this directory, so any CLI that reuses a benched shape
+# (e.g. export_serving at batch 16) loads its executable in seconds.
+import jax as _jax  # noqa: E402
+
+_jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
+
 
 def load_vae(vae_path: str, latent_channels: int = 4, image_size: int = 256,
              scale_factor: float = 0.18215):

@@ -69,6 +69,49 @@ def test_export_cfg_sampler_full_diffusion(tmp_path):
                                rtol=1e-5, atol=1e-6)
 
 
+def test_serve_generate_cli(tmp_path):
+    """cli/serve_generate.py writes the generate.py output contract
+    (ID_X/generated_###.jpg) from an artifact directory alone."""
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).parent.parent
+
+    # a tiny image-producing program: [B] classes -> [B,8,8,3] in [0,1]
+    w = jnp.linspace(0.0, 1.0, 8 * 8 * 3).reshape(8, 8, 3)
+
+    def fn(p, key, classes):
+        shade = (classes.astype(jnp.float32) / 4.0)[:, None, None, None]
+        return jnp.clip(p["w"][None] * 0.5 + shade * 0.5
+                        + 0.01 * jax.random.uniform(key, (1, 8, 8, 3)), 0, 1)
+
+    key = jax.random.PRNGKey(0)
+    classes = jnp.zeros((2,), jnp.int32)
+    outdir = tmp_path / "artifact"
+    export_cfg_sampler(fn, {"w": w}, (key, classes), outdir,
+                       platforms=["cpu"],
+                       config={"batch_size": 2, "num_users": 3})
+
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.pop("JAX_PLATFORMS", None)
+    env["PYTHONPATH"] = str(repo)
+    gen = tmp_path / "generated"
+    r = subprocess.run(
+        [sys.executable, str(repo / "cli" / "serve_generate.py"),
+         "--artifact", str(outdir), "--output_dir", str(gen),
+         "--num_images", "3", "--all_users"],
+        capture_output=True, text=True, timeout=600, env=env,
+        cwd=str(repo / "cli"))
+    assert r.returncode == 0, r.stderr
+    for user in (1, 2, 3):
+        files = sorted((gen / f"ID_{user}").glob("generated_*.jpg"))
+        assert [f.name for f in files] == [
+            "generated_000.jpg", "generated_001.jpg", "generated_002.jpg"]
+
+
 def test_exported_artifact_independent_of_model_code(tmp_path):
     """The loader path uses only jax + numpy (no flax modules): simulate by
     exporting, then loading through load_cfg_sampler alone and running."""
