@@ -112,6 +112,91 @@ def test_serve_generate_cli(tmp_path):
             "generated_000.jpg", "generated_001.jpg", "generated_002.jpg"]
 
 
+def test_serve_http_daemon(tmp_path):
+    """cli/serve_http.py serves /healthz and /generate (base64 JPEGs) from
+    an artifact directory alone, on an ephemeral port."""
+    import base64
+    import io
+    import json as _json
+    import os
+    import re
+    import subprocess
+    import sys
+    import time
+    import urllib.request
+    from pathlib import Path
+
+    from PIL import Image
+
+    repo = Path(__file__).parent.parent
+
+    w = jnp.linspace(0.0, 1.0, 8 * 8 * 3).reshape(8, 8, 3)
+
+    def fn(p, key, classes):
+        shade = (classes.astype(jnp.float32) / 4.0)[:, None, None, None]
+        return jnp.clip(p["w"][None] * 0.5 + shade * 0.5
+                        + 0.01 * jax.random.uniform(key, (1, 8, 8, 3)), 0, 1)
+
+    outdir = tmp_path / "artifact"
+    export_cfg_sampler(fn, {"w": w},
+                       (jax.random.PRNGKey(0), jnp.zeros((2,), jnp.int32)),
+                       outdir, platforms=["cpu"],
+                       config={"batch_size": 2, "num_users": 3})
+
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.pop("JAX_PLATFORMS", None)
+    env["PYTHONPATH"] = str(repo)
+    proc = subprocess.Popen(
+        [sys.executable, "-u", str(repo / "cli" / "serve_http.py"),
+         "--artifact", str(outdir), "--port", "0"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env, cwd=str(repo / "cli"))
+    try:
+        port, deadline = None, time.time() + 300
+        while time.time() < deadline:
+            line = proc.stdout.readline()
+            if not line and proc.poll() is not None:
+                raise AssertionError("server died before startup")
+            m = re.search(r"serving on http://[\d.]+:(\d+)", line)
+            if m:
+                port = int(m.group(1))
+                break
+        assert port, "server never announced its port"
+
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=60) as r:
+            health = _json.loads(r.read())
+        assert health["status"] == "ok"
+        assert health["batch_size"] == 2 and health["num_users"] == 3
+        assert health["warm"] is True
+
+        body = _json.dumps({"user_id": 2, "num_images": 3,
+                            "seed": 7}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate", data=body,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = _json.loads(r.read())
+        assert len(out["images"]) == 3
+        img = Image.open(io.BytesIO(base64.b64decode(out["images"][0])))
+        assert img.size == (8, 8)
+
+        # invalid user -> 400
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate",
+            data=_json.dumps({"user_id": 99}).encode(),
+            headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(bad, timeout=60)
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)
+
+
 def test_exported_artifact_independent_of_model_code(tmp_path):
     """The loader path uses only jax + numpy (no flax modules): simulate by
     exporting, then loading through load_cfg_sampler alone and running."""
