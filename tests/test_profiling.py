@@ -36,3 +36,29 @@ def test_trace_context_writes_profile(tmp_path):
         jax.block_until_ready(jax.jit(lambda a: a @ a)(jnp.ones((8, 8))))
     files = list(out.rglob("*"))
     assert files, "no profiler output written"
+
+
+def test_roofline_profile_record():
+    """cli/profile_sampling.profile: times a jitted program, reads XLA cost
+    analysis, and computes the roofline attribution fields."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent.parent / "cli"))
+    from profile_sampling import profile
+
+    def f(a, b):
+        return jnp.tanh(a @ b)
+
+    a = jnp.ones((512, 512), jnp.float32)
+    rec = profile("matmul-tanh", f, (a, a), n_items=4, iters=2)
+    assert rec["t_measured_ms"] > 0
+    assert rec["items_per_sec"] > 0
+    # XLA's CPU/TPU backends both report cost analysis for a dot
+    if rec["flops"]:
+        assert rec["mfu"] is not None and rec["mfu"] >= 0
+        assert rec["t_mxu_ms"] > 0
+    if rec["flops"] and rec["bytes"]:
+        assert rec["bound"] in ("mxu", "hbm")
+        assert rec["roofline_fraction"] > 0
+        assert rec["arith_intensity_flops_per_byte"] > 0
