@@ -12,6 +12,8 @@ Usage:
   python cli/export_serving.py --checkpoint results/ldm --vae_path ... \
       --out serving_artifact [--batch_size 16] [--cond_scale 1.0] \
       [--platforms tpu cpu] [--selftest]
+  python cli/export_serving.py --mode vq_codec --vqgan_path results/vqgan/vqgan-1 \
+      --out codec_artifact [--selftest]   # images <-> int indices codec
 
 Serving host:
   from vqgan_tpu.serving import load_cfg_sampler   # or vendor export.py
@@ -26,11 +28,87 @@ from _common import REPO, load_vae  # noqa: E402
 from generate import load_model  # noqa: E402
 
 
+def export_vq_codec_artifact(args):
+    """--mode vq_codec: the VQ-VAE index codec (images → int indices →
+    images, reference vq_vae.py:162,177) as two AOT programs over one
+    shared param set — a deployable compression codec."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vqgan_tpu.models import VQVAE
+    from vqgan_tpu.serving import export_vq_codec, load_vq_codec
+
+    ckpt = Path(args.vqgan_path)
+    if ckpt.suffix == ".pt":
+        from vqgan_tpu.checkpoint.torch_import import load_torch_vqvae
+
+        params, cfg = load_torch_vqvae(ckpt), {}
+    else:
+        import orbax.checkpoint as ocp
+
+        restored = ocp.StandardCheckpointer().restore(ckpt.absolute())
+        params = (restored["vqvae_params"]
+                  if "vqvae_params" in restored else restored)
+        cfg_file = ckpt.parent / f"{ckpt.name}.config.json"
+        cfg = json.loads(cfg_file.read_text()) if cfg_file.exists() else {}
+
+    size = args.image_size or cfg.get("image_size", 256)
+    model = VQVAE(
+        ch=cfg.get("ch", 128), ch_mult=tuple(cfg.get("ch_mult", (1, 2, 2, 4))),
+        num_res_blocks=cfg.get("num_res_blocks", 2),
+        attn_resolutions=tuple(cfg.get("attn_resolutions", (16,))),
+        resolution=size, z_channels=cfg.get("z_channels", 256),
+        num_embeddings=cfg.get("num_embeddings", 128),
+        embedding_dim=cfg.get("embedding_dim", 256))
+
+    b = args.batch_size
+    latent = size // 2 ** (len(model.ch_mult) - 1)
+    images = jnp.zeros((b, size, size, 3), jnp.float32)
+    indices = jnp.zeros((b, latent, latent), jnp.int32)
+
+    def encode(p, x):
+        return model.apply(p, x, method=VQVAE.encode_to_indices)
+
+    def decode(p, idx):
+        return model.apply(p, idx, method=VQVAE.decode_from_indices)
+
+    export_vq_codec(encode, decode, params, images, indices, args.out,
+                    platforms=args.platforms,
+                    config={"batch_size": b, "image_size": size,
+                            "latent_size": latent,
+                            "num_embeddings": model.num_embeddings})
+    print(f"exported VQ codec artifact to {args.out} "
+          f"(batch {b}, {size}px -> {latent}x{latent} indices of "
+          f"{model.num_embeddings})")
+
+    if args.selftest:
+        enc, dec = load_vq_codec(args.out)
+        idx = enc(images)
+        want_idx = jax.jit(encode)(params, images)
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(want_idx))
+        got = np.asarray(dec(jnp.asarray(idx)))
+        want = np.asarray(jax.jit(decode)(params, want_idx))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+        print(f"selftest OK: artifact == live codec, indices "
+              f"{np.asarray(idx).shape}, recon {got.shape}")
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--mode", choices=["cfg_sampler", "vq_codec"],
+                    default="cfg_sampler")
+    ap.add_argument("--checkpoint", default=None,
+                    help="LDM checkpoint dir (cfg_sampler mode)")
     ap.add_argument("--milestone", type=int, default=None)
-    ap.add_argument("--vae_path", required=True)
+    ap.add_argument("--vae_path", default=None,
+                    help="KL-VAE checkpoint (cfg_sampler mode)")
+    ap.add_argument("--vqgan_path", default=None,
+                    help="VQ-GAN checkpoint dir or vqgan-*.pt (vq_codec)")
+    ap.add_argument("--image_size", type=int, default=None,
+                    help="vq_codec: override the checkpoint's image size")
     ap.add_argument("--out", default="./serving_artifact")
     ap.add_argument("--batch_size", type=int, default=16)
     ap.add_argument("--cond_scale", type=float, default=None)
@@ -42,6 +120,13 @@ def main():
                     help="reload the artifact and check it matches the live "
                          "pipeline on one batch")
     args = ap.parse_args()
+
+    if args.mode == "vq_codec":
+        if not args.vqgan_path:
+            ap.error("--mode vq_codec requires --vqgan_path")
+        return export_vq_codec_artifact(args)
+    if not (args.checkpoint and args.vae_path):
+        ap.error("--mode cfg_sampler requires --checkpoint and --vae_path")
 
     import jax
     import jax.numpy as jnp

@@ -218,3 +218,41 @@ def test_exported_artifact_independent_of_model_code(tmp_path):
     call = load_cfg_sampler(outdir)
     np.testing.assert_allclose(np.asarray(call(x)), np.asarray(want),
                                rtol=1e-6)
+
+
+def test_vq_codec_export_roundtrip(tmp_path):
+    """The exported VQ codec (encode.bin/decode.bin over one params.npz)
+    reproduces the live encode_to_indices/decode_from_indices exactly."""
+    from vqgan_tpu.models import VQVAE
+    from vqgan_tpu.serving import export_vq_codec, load_vq_codec
+
+    model = VQVAE(ch=8, ch_mult=(1, 2), num_res_blocks=1,
+                  attn_resolutions=(4,), resolution=16, z_channels=8,
+                  num_embeddings=16, embedding_dim=8)
+    images = jax.random.uniform(jax.random.PRNGKey(0), (2, 16, 16, 3))
+    params = model.init(jax.random.PRNGKey(1), images)
+
+    def encode(p, x):
+        return model.apply(p, x, method=VQVAE.encode_to_indices)
+
+    def decode(p, idx):
+        return model.apply(p, idx, method=VQVAE.decode_from_indices)
+
+    live_idx = jax.jit(encode)(params, images)
+    outdir = tmp_path / "codec"
+    export_vq_codec(encode, decode, params, images,
+                    jnp.zeros_like(live_idx), outdir, platforms=["cpu"],
+                    config={"batch_size": 2, "image_size": 16})
+
+    enc, dec = load_vq_codec(outdir)
+    idx = np.asarray(enc(images))
+    np.testing.assert_array_equal(idx, np.asarray(live_idx))
+    assert idx.dtype in (np.int32, np.int64)
+    recon = np.asarray(dec(jnp.asarray(idx)))
+    want = np.asarray(jax.jit(decode)(params, live_idx))
+    np.testing.assert_allclose(recon, want, rtol=1e-5, atol=1e-6)
+    assert recon.shape == (2, 16, 16, 3)
+    # serving artifact is self-contained: three binaries + meta
+    names = {p.name for p in outdir.iterdir()}
+    assert {"encode.bin", "decode.bin", "params.npz",
+            "meta.json"} <= names

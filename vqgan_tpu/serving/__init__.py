@@ -3,6 +3,8 @@ from .export import (
     load_program,
     export_cfg_sampler,
     load_cfg_sampler,
+    export_vq_codec,
+    load_vq_codec,
 )
 
 __all__ = [
@@ -10,4 +12,6 @@ __all__ = [
     "load_program",
     "export_cfg_sampler",
     "load_cfg_sampler",
+    "export_vq_codec",
+    "load_vq_codec",
 ]

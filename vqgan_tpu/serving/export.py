@@ -41,6 +41,8 @@ __all__ = [
     "load_program",
     "export_cfg_sampler",
     "load_cfg_sampler",
+    "export_vq_codec",
+    "load_vq_codec",
 ]
 
 
@@ -126,3 +128,69 @@ def load_cfg_sampler(outdir) -> Callable:
         return run(leaves, *args)
 
     return call
+
+
+# --------------------------------------------------------------------------
+# the VQ index codec: two programs (encode, decode) over one param set
+
+
+def export_vq_codec(encode_fn: Callable, decode_fn: Callable, params: Any,
+                    example_images, example_indices, outdir,
+                    platforms: Sequence[str] | None = None,
+                    config: dict | None = None) -> None:
+    """Export the VQ-VAE index codec as a self-contained serving directory.
+
+    The reference's compressed-storage surface (`encode_to_indices` /
+    `decode_from_indices`, vq_vae.py:162,177) as deployable AOT artifacts:
+    `encode.bin` maps images → int codebook indices, `decode.bin` maps
+    indices → images, both closed over one shared `params.npz`. A host with
+    jax + numpy can run compression and reconstruction with no model code.
+
+    encode_fn(params, images) -> indices; decode_fn(params, indices) ->
+    images, lowered at the example shapes.
+    """
+    outdir = Path(outdir)
+    outdir.mkdir(parents=True, exist_ok=True)
+
+    leaves, treedef = jax.tree.flatten(params)
+    np.savez(outdir / "params.npz",
+             **{str(i): np.asarray(l) for i, l in enumerate(leaves)})
+
+    def flat_encode(flat_params, images):
+        return encode_fn(jax.tree.unflatten(treedef, list(flat_params)),
+                         images)
+
+    def flat_decode(flat_params, indices):
+        return decode_fn(jax.tree.unflatten(treedef, list(flat_params)),
+                         indices)
+
+    export_program(flat_encode, (tuple(leaves), example_images),
+                   outdir / "encode.bin", platforms=platforms)
+    export_program(flat_decode, (tuple(leaves), example_indices),
+                   outdir / "decode.bin", platforms=platforms)
+
+    meta = {
+        "programs": ["encode", "decode"],
+        "n_params": len(leaves),
+        "image_shape": list(np.shape(example_images)),
+        "image_dtype": str(np.asarray(example_images).dtype),
+        "index_shape": list(np.shape(example_indices)),
+        "index_dtype": str(np.asarray(example_indices).dtype),
+        "platforms": list(platforms) if platforms else None,
+        "config": config or {},
+    }
+    (outdir / "meta.json").write_text(json.dumps(meta, indent=1))
+
+
+def load_vq_codec(outdir) -> tuple[Callable, Callable]:
+    """Load a codec directory; returns `(encode, decode)` with params bound.
+
+    Needs only jax + numpy on the serving host — no vqgan_tpu model code.
+    """
+    outdir = Path(outdir)
+    data = np.load(outdir / "params.npz")
+    leaves = tuple(data[str(i)] for i in range(len(data.files)))
+    run_enc = load_program(outdir / "encode.bin")
+    run_dec = load_program(outdir / "decode.bin")
+    return (lambda images: run_enc(leaves, images),
+            lambda indices: run_dec(leaves, indices))
