@@ -117,3 +117,20 @@ def test_diffusers_cli_validates_head_dim_like_reference():
     r = _run([script, "--dim_mults", "1,2,x"])
     assert r.returncode != 0
     assert "csv integers" in r.stderr
+
+
+def test_serving_clis_arg_validation():
+    """The serving CLIs reject incomplete/invalid invocations cleanly."""
+    # cfg_sampler mode demands --checkpoint and --vae_path
+    r = _run([CLI / "export_serving.py", "--out", "/tmp/x"])
+    assert r.returncode == 2
+    assert "requires --checkpoint" in r.stderr
+    # vq_codec mode demands --vqgan_path
+    r = _run([CLI / "export_serving.py", "--mode", "vq_codec"])
+    assert r.returncode == 2
+    assert "requires --vqgan_path" in r.stderr
+    # serving hosts demand --artifact
+    for script in ("serve_generate.py", "serve_http.py"):
+        r = _run([CLI / script])
+        assert r.returncode == 2, script
+        assert "--artifact" in r.stderr
