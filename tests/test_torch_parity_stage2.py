@@ -280,9 +280,24 @@ def test_patchgan_logits_parity():
     tdisc.train()
     with torch.no_grad():
         logits_tt = _nhwc(tdisc(_nchw(x)))
-    logits_jt, _ = jdisc.apply(variables, jnp.asarray(x), train=True,
-                               mutable=["batch_stats"])
+    logits_jt, mutated = jdisc.apply(variables, jnp.asarray(x), train=True,
+                                     mutable=["batch_stats"])
     np.testing.assert_allclose(np.asarray(logits_jt), logits_tt, atol=2e-4)
+
+    # running-stat UPDATE parity: one train step must move the running mean
+    # by the same fraction on both sides (torch momentum 0.1 counts the
+    # new-batch share; flax counts the kept share, so ours must be 0.9 —
+    # the default 0.99 adapts 10x slower, a real GAN-dynamics difference)
+    t_bn = next(m for m in tdisc.modules()
+                if isinstance(m, torch.nn.BatchNorm2d))
+    t_mean = t_bn.running_mean.detach().numpy()  # unique channel count
+    import jax
+
+    j_mean = next(
+        np.asarray(leaf) for path, leaf in
+        jax.tree_util.tree_flatten_with_path(mutated["batch_stats"])[0]
+        if path[-1].key == "mean" and np.shape(leaf) == t_mean.shape)
+    np.testing.assert_allclose(j_mean, t_mean, atol=2e-4)
 
 
 def test_edm_preconditioned_forward_parity():

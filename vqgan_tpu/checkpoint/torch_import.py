@@ -50,7 +50,11 @@ def torch_state_to_numpy(path_or_state) -> Dict[str, np.ndarray]:
     for k, v in state.items():
         if hasattr(v, "detach"):
             v = v.detach().numpy()
-        out[k] = np.asarray(v)
+        # copy is load-bearing: .numpy() ALIASES torch storage, and JAX's
+        # CPU backend can keep numpy buffers zero-copy — without the copy,
+        # later in-place torch updates (e.g. BatchNorm running stats during
+        # a parity run) silently mutate the "imported" flax variables.
+        out[k] = np.array(v, copy=True)
     return out
 
 

@@ -55,8 +55,13 @@ class ActNorm(nn.Module):
 
 def _norm(kind: str, dtype, name: str):
     if kind == "batch":
-        return nn.BatchNorm(dtype=jnp.float32, param_dtype=jnp.float32,
-                            name=name)
+        # momentum 0.9 == torch BatchNorm2d's default 0.1 (torch counts the
+        # NEW-batch fraction, flax the KEPT fraction). Flax's default 0.99
+        # would adapt running stats 10x slower than the reference's
+        # discriminator — a real dynamics difference in the G pass, which
+        # reads these stats frozen (see PARITY.md, discriminator BN mode).
+        return nn.BatchNorm(momentum=0.9, dtype=jnp.float32,
+                            param_dtype=jnp.float32, name=name)
     if kind == "act":
         return ActNorm(name=name)
     if kind == "group":
