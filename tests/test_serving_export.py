@@ -256,3 +256,49 @@ def test_vq_codec_export_roundtrip(tmp_path):
     names = {p.name for p in outdir.iterdir()}
     assert {"encode.bin", "decode.bin", "params.npz",
             "meta.json"} <= names
+
+
+def test_multi_device_serving_artifact(tmp_path):
+    """An artifact exported over a 2-device mesh (params replicated, batch
+    sharded) reloads onto a default mesh and reproduces the single-device
+    program, executing across 2 devices."""
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    assert len(jax.devices()) >= 2, "conftest forces 8 CPU devices"
+    mesh = Mesh(np.array(jax.devices()[:2]), ("data",))
+
+    w = jnp.linspace(0.0, 1.0, 8).reshape(8)
+
+    def fn(p, key, classes):
+        noise = jax.random.normal(key, (1, 8))
+        return jnp.tanh(p["w"][None, :] * classes[:, None].astype(jnp.float32)
+                        + p["b"] + 0.01 * noise)
+
+    # multi-leaf params: flat shardings must be re-treeified at load (a
+    # single-leaf tree hides arity bugs by matching the arg count)
+    params = {"w": w, "b": jnp.float32(0.25)}
+    key = jax.random.PRNGKey(3)
+    classes = jnp.arange(4, dtype=jnp.int32)
+    want = np.asarray(jax.jit(fn)(params, key, classes))
+
+    outdir = tmp_path / "dp_artifact"
+    export_cfg_sampler(fn, params, (key, classes), outdir,
+                       platforms=["cpu"], mesh=mesh,
+                       arg_specs=(P(), P("data")),
+                       config={"batch_size": 4})
+    import json as _json
+    meta = _json.loads((outdir / "meta.json").read_text())
+    assert meta["mesh"] == {"shape": [2], "axes": ["data"],
+                            "nr_devices": 2}
+
+    sample = load_cfg_sampler(outdir)  # default mesh over first 2 devices
+    out = sample(key, classes)
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-6)
+    assert len(out.sharding.device_set) == 2
+
+    # explicit mesh over a DIFFERENT pair of devices also serves it
+    mesh2 = Mesh(np.array(jax.devices()[2:4]), ("data",))
+    sample2 = load_cfg_sampler(outdir, mesh=mesh2)
+    out2 = sample2(key, classes)
+    np.testing.assert_allclose(np.asarray(out2), want, rtol=1e-6)
+    assert {d.id for d in out2.sharding.device_set} == {2, 3}

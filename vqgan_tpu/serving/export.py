@@ -53,26 +53,68 @@ def _specs(tree):
 
 
 def export_program(fn: Callable, example_args: Sequence[Any], path,
-                   platforms: Sequence[str] | None = None) -> None:
+                   platforms: Sequence[str] | None = None,
+                   in_shardings=None) -> None:
     """Serialize jit(fn) lowered at example_args' shapes to `path` (a file).
 
     platforms: lowering platforms recorded in the artifact (default: the
     current default backend). An artifact exported for ["tpu"] can only be
     called on TPU; export for ["cpu", "tpu"] to get a portable module at
     the cost of lowering twice.
+
+    in_shardings: optional jit in_shardings (NamedShardings over a Mesh)
+    for a multi-device program — the artifact then records the mesh size
+    and per-argument shardings in its calling convention.
     """
+    jitted = (jax.jit(fn) if in_shardings is None
+              else jax.jit(fn, in_shardings=in_shardings))
     exp = jax_export.export(
-        jax.jit(fn),
+        jitted,
         platforms=list(platforms) if platforms else None,
     )(*_specs(tuple(example_args)))
     Path(path).write_bytes(exp.serialize())
 
 
-def load_program(path) -> Callable:
+def load_program(path, mesh=None) -> Callable:
     """Deserialize an exported program; returns a callable running it via
-    the current backend (jax.jit over Exported.call keeps dispatch fast)."""
+    the current backend (jax.jit over Exported.call keeps dispatch fast).
+
+    A program exported over an N-device mesh must be called over N devices
+    again: pass a Mesh with the same axis names/shape (any N devices), or
+    let the default build one from the first N of jax.devices()."""
     exp = jax_export.deserialize(Path(path).read_bytes())
-    return jax.jit(exp.call)
+    if exp.nr_devices == 1:
+        return jax.jit(exp.call)
+    if mesh is None:
+        mesh = _default_mesh_like(exp)
+    # in/out_shardings_jax are FLAT (one per leaf); jit wants them shaped
+    # like the calling convention — unflatten with the recorded trees
+    args_sh, kwargs_sh = jax.tree.unflatten(
+        exp.in_tree, list(exp.in_shardings_jax(mesh)))
+    assert not kwargs_sh, "exported programs are positional-only"
+    outs_sh = jax.tree.unflatten(
+        exp.out_tree, list(exp.out_shardings_jax(mesh)))
+    return jax.jit(exp.call, in_shardings=args_sh, out_shardings=outs_sh)
+
+
+def _default_mesh_like(exp):
+    """A Mesh over the first nr_devices local devices with the exported
+    mesh's axis names/shape (kept as an AbstractMesh on the deserialized
+    calling-convention NamedShardings)."""
+    from jax.sharding import Mesh, NamedSharding
+
+    devs = jax.devices()
+    if len(devs) < exp.nr_devices:
+        raise ValueError(f"program exported for {exp.nr_devices} devices; "
+                         f"only {len(devs)} available")
+    shape, axes = (exp.nr_devices,), ("data",)  # fallback: one flat axis
+    named = getattr(exp, "_in_named_shardings", None) or ()
+    for s in named:
+        if isinstance(s, NamedSharding):
+            shape = tuple(s.mesh.shape.values())
+            axes = tuple(s.mesh.axis_names)
+            break
+    return Mesh(np.array(devs[:exp.nr_devices]).reshape(shape), axes)
 
 
 # --------------------------------------------------------------------------
@@ -82,12 +124,20 @@ def load_program(path) -> Callable:
 def export_cfg_sampler(fn: Callable, params: Any,
                        example_args: Sequence[Any], outdir,
                        platforms: Sequence[str] | None = None,
-                       config: dict | None = None) -> None:
+                       config: dict | None = None,
+                       mesh=None, arg_specs=None) -> None:
     """Export `fn(params, *example_args)` plus its params as a
     self-contained serving directory.
 
     fn's first argument must be the param pytree; the remaining arguments
     (e.g. PRNG key, class labels) stay call-time inputs.
+
+    mesh + arg_specs make a MULTI-DEVICE artifact: the program is jitted
+    over the Mesh with params replicated and each call-time argument
+    sharded per its PartitionSpec (e.g. P("data") on the class-label batch
+    for data-parallel serving). The artifact then requires the same number
+    of devices (any devices, same axis layout) at load time — the TPU-pod
+    serving story, with XLA inserting the collectives.
     """
     outdir = Path(outdir)
     outdir.mkdir(parents=True, exist_ok=True)
@@ -100,8 +150,23 @@ def export_cfg_sampler(fn: Callable, params: Any,
         p = jax.tree.unflatten(treedef, list(flat_params))
         return fn(p, *args)
 
+    in_shardings = None
+    mesh_meta = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        if arg_specs is None:
+            arg_specs = tuple(PartitionSpec() for _ in example_args)
+        repl = NamedSharding(mesh, PartitionSpec())
+        in_shardings = (tuple(repl for _ in leaves),) + tuple(
+            NamedSharding(mesh, s) for s in arg_specs)
+        mesh_meta = {"shape": list(mesh.devices.shape),
+                     "axes": list(mesh.axis_names),
+                     "nr_devices": int(mesh.devices.size)}
+
     export_program(flat_fn, (tuple(leaves),) + tuple(example_args),
-                   outdir / "program.bin", platforms=platforms)
+                   outdir / "program.bin", platforms=platforms,
+                   in_shardings=in_shardings)
 
     meta = {
         "treedef": str(treedef),
@@ -109,20 +174,22 @@ def export_cfg_sampler(fn: Callable, params: Any,
         "arg_shapes": [list(np.shape(a)) for a in example_args],
         "arg_dtypes": [str(np.asarray(a).dtype) for a in example_args],
         "platforms": list(platforms) if platforms else None,
+        "mesh": mesh_meta,
         "config": config or {},
     }
     (outdir / "meta.json").write_text(json.dumps(meta, indent=1))
 
 
-def load_cfg_sampler(outdir) -> Callable:
+def load_cfg_sampler(outdir, mesh=None) -> Callable:
     """Load a serving directory; returns `call(*args)` with params bound.
 
     Needs only jax + numpy on the serving host — no vqgan_tpu model code.
-    """
+    Multi-device artifacts build a default mesh over the first N local
+    devices (or pass `mesh` explicitly)."""
     outdir = Path(outdir)
     data = np.load(outdir / "params.npz")
     leaves = tuple(data[str(i)] for i in range(len(data.files)))
-    run = load_program(outdir / "program.bin")
+    run = load_program(outdir / "program.bin", mesh=mesh)
 
     def call(*args):
         return run(leaves, *args)
