@@ -21,9 +21,15 @@
 #include <algorithm>
 #include <atomic>
 #include <cmath>
+#include <condition_variable>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <map>
+#include <mutex>
+#include <numeric>
+#include <random>
+#include <string>
 #include <thread>
 #include <vector>
 
@@ -211,6 +217,159 @@ int decode_jpeg_batch(const char **paths, int n, int image_size, float *out,
   return status.load();
 }
 
-int image_decoder_abi_version() { return 1; }
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Async batch pipeline: N producer threads decode whole batches ahead of the
+// consumer into a ring of `depth` slots; pipeline_next() blocks only when
+// the ring is empty. Deterministic batch order (sequence numbers), per-epoch
+// seeded reshuffle, drop-last semantics. The native counterpart of
+// data/prefetch.py's host stage: decode keeps running while the TPU step
+// executes, without the GIL in the picture.
+
+namespace {
+
+struct Pipeline {
+  std::vector<std::string> paths;
+  int image_size, batch, depth;
+  bool shuffle;
+  uint64_t seed;
+  size_t batches_per_epoch;
+
+  std::vector<float> ring;            // depth * batch * S * S * 3
+  std::vector<long> slot_seq;         // sequence number held by each slot
+  std::vector<uint8_t> slot_ready;    // slot has a decoded batch
+  std::atomic<long> next_seq{0};      // next sequence a worker claims
+  long consumed = 0;                  // next sequence the consumer takes
+  std::atomic<int> error{0};
+  bool stopping = false;
+
+  std::mutex mu;
+  std::condition_variable cv_producer, cv_consumer;
+  std::map<long, std::vector<int>> epoch_order;  // epoch -> permutation
+  std::vector<std::thread> workers;
+
+  size_t item_floats() const {
+    return size_t(image_size) * image_size * 3;
+  }
+
+  const std::vector<int> &order_for(long epoch) {
+    // caller holds mu
+    auto it = epoch_order.find(epoch);
+    if (it != epoch_order.end()) return it->second;
+    std::vector<int> order(paths.size());
+    std::iota(order.begin(), order.end(), 0);
+    if (shuffle) {
+      std::mt19937_64 rng(seed + uint64_t(epoch) * 0x9E3779B97F4A7C15ull);
+      std::shuffle(order.begin(), order.end(), rng);
+    }
+    while (epoch_order.size() > 2) epoch_order.erase(epoch_order.begin());
+    return epoch_order.emplace(epoch, std::move(order)).first->second;
+  }
+
+  void worker() {
+    const size_t bf = item_floats() * batch;
+    while (true) {
+      long seq = next_seq.fetch_add(1);
+      std::vector<std::string> batch_paths(batch);
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        cv_producer.wait(lk, [&] {
+          return stopping || error.load() || seq < consumed + depth;
+        });
+        if (stopping || error.load()) return;
+        const long epoch = seq / long(batches_per_epoch);
+        const long b = seq % long(batches_per_epoch);
+        const std::vector<int> &order = order_for(epoch);
+        for (int i = 0; i < batch; ++i)
+          batch_paths[i] = paths[order[size_t(b) * batch + i]];
+      }
+      float *dst = ring.data() + size_t(seq % depth) * bf;
+      for (int i = 0; i < batch; ++i) {
+        int rc = decode_one(batch_paths[i].c_str(), image_size,
+                            dst + item_floats() * i);
+        if (rc != 0) {
+          int expected = 0;
+          error.compare_exchange_strong(expected, rc);
+          cv_consumer.notify_all();
+          cv_producer.notify_all();
+          return;
+        }
+      }
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        slot_seq[seq % depth] = seq;
+        slot_ready[seq % depth] = 1;
+      }
+      cv_consumer.notify_all();
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Build a pipeline over n paths. Requires n >= batch; the last n % batch
+// items of each epoch are dropped (training semantics). Returns NULL on
+// invalid arguments.
+void *pipeline_create(const char **paths, int n, int image_size, int batch,
+                      int n_threads, int depth, uint64_t seed, int shuffle) {
+  if (n < batch || batch <= 0 || image_size <= 0) return nullptr;
+  if (depth < 2) depth = 2;
+  if (n_threads <= 0) n_threads = 2;
+  auto *p = new Pipeline();
+  p->paths.assign(paths, paths + n);
+  p->image_size = image_size;
+  p->batch = batch;
+  p->depth = depth;
+  p->shuffle = shuffle != 0;
+  p->seed = seed;
+  p->batches_per_epoch = size_t(n) / batch;
+  p->ring.resize(size_t(depth) * batch * p->item_floats());
+  p->slot_seq.assign(depth, -1);
+  p->slot_ready.assign(depth, 0);
+  const int workers = std::min<int>(n_threads, depth);
+  p->workers.reserve(workers);
+  for (int i = 0; i < workers; ++i)
+    p->workers.emplace_back([p] { p->worker(); });
+  return p;
+}
+
+// Copy the next batch into out [batch, S, S, 3] float32. Returns the batch's
+// global sequence number (>= 0), or a negative decode error code.
+long pipeline_next(void *handle, float *out) {
+  auto *p = static_cast<Pipeline *>(handle);
+  const size_t bf = p->item_floats() * p->batch;
+  std::unique_lock<std::mutex> lk(p->mu);
+  p->cv_consumer.wait(lk, [&] {
+    return p->error.load() ||
+           (p->slot_ready[p->consumed % p->depth] &&
+            p->slot_seq[p->consumed % p->depth] == p->consumed);
+  });
+  if (p->error.load()) return -long(std::abs(p->error.load())) - 100;
+  const long seq = p->consumed;
+  std::memcpy(out, p->ring.data() + size_t(seq % p->depth) * bf,
+              bf * sizeof(float));
+  p->slot_ready[seq % p->depth] = 0;
+  p->consumed = seq + 1;
+  lk.unlock();
+  p->cv_producer.notify_all();
+  return seq;
+}
+
+void pipeline_destroy(void *handle) {
+  auto *p = static_cast<Pipeline *>(handle);
+  {
+    std::lock_guard<std::mutex> lk(p->mu);
+    p->stopping = true;
+  }
+  p->cv_producer.notify_all();
+  p->cv_consumer.notify_all();
+  for (auto &t : p->workers) t.join();
+  delete p;
+}
+
+int image_decoder_abi_version() { return 2; }
 
 }  // extern "C"

@@ -110,3 +110,51 @@ def test_image_folder_get_batch_parity(jpegs, tmp_path):
         ref, label = ds[i]
         assert np.abs(xb[i] - ref).mean() < 4 / 255
         assert yb[i] == label
+
+
+def test_pipeline_sequential_order_and_epochs(jpegs):
+    """shuffle=False: batches come in path order, drop-last, and epoch 1
+    repeats epoch 0's order."""
+    from vqgan_tpu.data.native_image import NativePipeline
+
+    size, batch = 16, 2
+    n_batches = len(jpegs) // batch  # 5 paths -> 2 batches, 1 dropped
+    with NativePipeline(jpegs, size, batch, n_threads=2, depth=2,
+                        shuffle=False) as pipe:
+        assert pipe.available
+        epoch0 = [pipe.next() for _ in range(n_batches)]
+        epoch1 = [pipe.next() for _ in range(n_batches)]
+    for b in range(n_batches):
+        want = decode_jpeg_batch(jpegs[b * batch:(b + 1) * batch], size)
+        np.testing.assert_array_equal(epoch0[b], want)
+        np.testing.assert_array_equal(epoch1[b], epoch0[b])
+
+
+def test_pipeline_shuffle_deterministic(jpegs):
+    """Same seed → same batch stream; epochs reshuffle."""
+    from vqgan_tpu.data.native_image import NativePipeline
+
+    size, batch = 16, 2
+    n = len(jpegs) // batch
+
+    def stream():
+        with NativePipeline(jpegs, size, batch, n_threads=2, depth=3,
+                            seed=7, shuffle=True) as p:
+            return [p.next() for _ in range(2 * n)]
+
+    a, b = stream(), stream()
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+    # reshuffled epochs: at least one batch differs between epoch 0 and 1
+    assert any(not np.array_equal(a[i], a[i + n]) for i in range(n))
+
+
+def test_pipeline_decode_error_raises(jpegs, tmp_path):
+    from vqgan_tpu.data.native_image import NativePipeline
+
+    bad = tmp_path / "corrupt.jpg"
+    bad.write_bytes(b"not a jpeg at all")
+    with NativePipeline([jpegs[0], bad], 16, 2, shuffle=False) as pipe:
+        assert pipe.available
+        with pytest.raises(RuntimeError, match="decode failed"):
+            pipe.next()

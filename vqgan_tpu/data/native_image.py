@@ -23,7 +23,7 @@ import numpy as np
 
 from vqgan_tpu.data._native_build import build_native_lib
 
-__all__ = ["load_decoder_lib", "decode_jpeg_batch"]
+__all__ = ["load_decoder_lib", "decode_jpeg_batch", "NativePipeline"]
 
 _SRC = Path(__file__).parent.parent.parent / "native" / "image_decoder.cpp"
 _LIB_DIR = Path(__file__).parent / "_native"
@@ -47,7 +47,18 @@ def load_decoder_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float), ctypes.c_int,
         ]
         lib.image_decoder_abi_version.restype = ctypes.c_int
-        assert lib.image_decoder_abi_version() == 1
+        assert lib.image_decoder_abi_version() == 2
+        lib.pipeline_create.restype = ctypes.c_void_p
+        lib.pipeline_create.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_uint64,
+            ctypes.c_int,
+        ]
+        lib.pipeline_next.restype = ctypes.c_long
+        lib.pipeline_next.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float)]
+        lib.pipeline_destroy.restype = None
+        lib.pipeline_destroy.argtypes = [ctypes.c_void_p]
         _lib_cache = lib
     except Exception as e:  # no compiler / no libjpeg → PIL fallback
         print(f"native image decoder unavailable ({e}); using PIL fallback")
@@ -72,3 +83,68 @@ def decode_jpeg_batch(paths: Sequence[str | Path], image_size: int,
     if rc != 0:
         return None
     return out
+
+
+class NativePipeline:
+    """Asynchronous C++ image pipeline: worker threads decode whole batches
+    ahead of training into a ring of `depth` slots (GIL-free), deterministic
+    batch order, per-epoch seeded reshuffle, drop-last semantics — the
+    native counterpart of data/prefetch.py's host stage.
+
+    Usage:
+        pipe = NativePipeline(paths, image_size=128, batch=8)
+        if pipe.available:
+            batch = pipe.next()   # [batch, S, S, 3] float32 [0,1]
+        pipe.close()
+
+    Falls back gracefully: `available` is False when the native library
+    cannot be built (callers keep their PIL path).
+    """
+
+    def __init__(self, paths: Sequence[str | Path], image_size: int,
+                 batch: int, n_threads: int = 2, depth: int = 3,
+                 seed: int = 0, shuffle: bool = True):
+        self._lib = load_decoder_lib()
+        self._handle = None
+        self.image_size, self.batch = image_size, batch
+        self.batches_per_epoch = len(paths) // batch if batch else 0
+        if self._lib is None or len(paths) < batch:
+            return
+        self._paths = [str(p).encode() for p in paths]  # keep alive
+        arr = (ctypes.c_char_p * len(self._paths))(*self._paths)
+        self._handle = self._lib.pipeline_create(
+            arr, len(self._paths), image_size, batch, n_threads, depth,
+            seed, int(shuffle))
+
+    @property
+    def available(self) -> bool:
+        return self._handle is not None
+
+    def next(self) -> np.ndarray:
+        """Blocking: the next [batch, S, S, 3] float32 [0,1] batch."""
+        assert self._handle is not None
+        out = np.empty((self.batch, self.image_size, self.image_size, 3),
+                       np.float32)
+        seq = self._lib.pipeline_next(
+            self._handle, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        if seq < 0:
+            raise RuntimeError(f"native pipeline decode failed (code {seq})")
+        self._seq = int(seq)
+        return out
+
+    def close(self) -> None:
+        if self._handle is not None:
+            self._lib.pipeline_destroy(self._handle)
+            self._handle = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
