@@ -237,6 +237,7 @@ struct Pipeline {
   size_t batches_per_epoch;
 
   std::vector<float> ring;            // depth * batch * S * S * 3
+  std::vector<int> ring_idx;          // depth * batch dataset indices
   std::vector<long> slot_seq;         // sequence number held by each slot
   std::vector<uint8_t> slot_ready;    // slot has a decoded batch
   std::atomic<long> next_seq{0};      // next sequence a worker claims
@@ -272,6 +273,7 @@ struct Pipeline {
     while (true) {
       long seq = next_seq.fetch_add(1);
       std::vector<std::string> batch_paths(batch);
+      std::vector<int> batch_idx(batch);
       {
         std::unique_lock<std::mutex> lk(mu);
         cv_producer.wait(lk, [&] {
@@ -281,8 +283,10 @@ struct Pipeline {
         const long epoch = seq / long(batches_per_epoch);
         const long b = seq % long(batches_per_epoch);
         const std::vector<int> &order = order_for(epoch);
-        for (int i = 0; i < batch; ++i)
-          batch_paths[i] = paths[order[size_t(b) * batch + i]];
+        for (int i = 0; i < batch; ++i) {
+          batch_idx[i] = order[size_t(b) * batch + i];
+          batch_paths[i] = paths[batch_idx[i]];
+        }
       }
       float *dst = ring.data() + size_t(seq % depth) * bf;
       for (int i = 0; i < batch; ++i) {
@@ -298,6 +302,8 @@ struct Pipeline {
       }
       {
         std::lock_guard<std::mutex> lk(mu);
+        std::copy(batch_idx.begin(), batch_idx.end(),
+                  ring_idx.begin() + size_t(seq % depth) * batch);
         slot_seq[seq % depth] = seq;
         slot_ready[seq % depth] = 1;
       }
@@ -327,6 +333,7 @@ void *pipeline_create(const char **paths, int n, int image_size, int batch,
   p->seed = seed;
   p->batches_per_epoch = size_t(n) / batch;
   p->ring.resize(size_t(depth) * batch * p->item_floats());
+  p->ring_idx.assign(size_t(depth) * batch, -1);
   p->slot_seq.assign(depth, -1);
   p->slot_ready.assign(depth, 0);
   const int workers = std::min<int>(n_threads, depth);
@@ -336,9 +343,11 @@ void *pipeline_create(const char **paths, int n, int image_size, int batch,
   return p;
 }
 
-// Copy the next batch into out [batch, S, S, 3] float32. Returns the batch's
-// global sequence number (>= 0), or a negative decode error code.
-long pipeline_next(void *handle, float *out) {
+// Copy the next batch into out [batch, S, S, 3] float32 (and, when idx_out
+// is non-NULL, the batch's dataset indices into idx_out [batch] — the
+// caller's key to labels/metadata). Returns the batch's global sequence
+// number (>= 0), or a negative decode error code.
+long pipeline_next(void *handle, float *out, int *idx_out) {
   auto *p = static_cast<Pipeline *>(handle);
   const size_t bf = p->item_floats() * p->batch;
   std::unique_lock<std::mutex> lk(p->mu);
@@ -351,6 +360,9 @@ long pipeline_next(void *handle, float *out) {
   const long seq = p->consumed;
   std::memcpy(out, p->ring.data() + size_t(seq % p->depth) * bf,
               bf * sizeof(float));
+  if (idx_out)
+    std::memcpy(idx_out, p->ring_idx.data() + size_t(seq % p->depth) * p->batch,
+                size_t(p->batch) * sizeof(int));
   p->slot_ready[seq % p->depth] = 0;
   p->consumed = seq + 1;
   lk.unlock();
@@ -370,6 +382,6 @@ void pipeline_destroy(void *handle) {
   delete p;
 }
 
-int image_decoder_abi_version() { return 2; }
+int image_decoder_abi_version() { return 3; }
 
 }  // extern "C"

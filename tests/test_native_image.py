@@ -158,3 +158,71 @@ def test_pipeline_decode_error_raises(jpegs, tmp_path):
         assert pipe.available
         with pytest.raises(RuntimeError, match="decode failed"):
             pipe.next()
+
+
+def test_native_batch_loader_labels_track_shuffled_images(tmp_path):
+    """NativeBatchLoader pairs each decoded image with ITS label under
+    shuffling (images encode their label as a uniform gray level)."""
+    from PIL import Image
+
+    from vqgan_tpu.data.native_image import NativeBatchLoader
+
+    paths = []
+    for label in range(6):
+        arr = np.full((40, 40, 3), label * 40, np.uint8)
+        p = tmp_path / f"u{label}.jpg"
+        Image.fromarray(arr).save(p, quality=95)
+        paths.append((p, label))
+
+    class DS:
+        items = paths
+        image_size = 32
+        imagenet_norm = False
+
+    loader = NativeBatchLoader(DS(), batch_size=2, shuffle=True, seed=5)
+    assert loader.available
+    it = iter(loader)
+    seen = []
+    for _ in range(6):  # two epochs
+        imgs, labels = next(it)
+        for img, lab in zip(imgs, labels):
+            assert int(round(float(img.mean()) * 255 / 40)) == int(lab)
+        seen.extend(int(l) for l in labels)
+    loader.close()
+    assert sorted(seen[:6]) == list(range(6))  # epoch 0 covers the dataset
+
+
+def test_make_batch_loader_fallbacks(tmp_path, jpegs):
+    from vqgan_tpu.data.datasets import BatchLoader
+    from vqgan_tpu.data.native_image import (NativeBatchLoader,
+                                             make_batch_loader)
+
+    class Plain:
+        items = [(p, 0) for p in jpegs]
+        image_size = 16
+        imagenet_norm = False
+
+        def __len__(self):
+            return len(self.items)
+
+        def __getitem__(self, i):
+            return np.zeros((16, 16, 3), np.float32), 0
+
+    assert isinstance(make_batch_loader(Plain(), 2), NativeBatchLoader)
+    # native=False -> Python loader
+    assert isinstance(make_batch_loader(Plain(), 2, native=False),
+                      BatchLoader)
+
+    # imagenet-normalized dataset -> Python loader (auto) / error (True)
+    class Norm(Plain):
+        imagenet_norm = True
+
+        def __len__(self):
+            return len(self.items)
+
+        def __getitem__(self, i):
+            return np.zeros((16, 16, 3), np.float32), 0
+
+    assert isinstance(make_batch_loader(Norm(), 2), BatchLoader)
+    with pytest.raises(RuntimeError, match="plain-float"):
+        make_batch_loader(Norm(), 2, native=True)

@@ -83,6 +83,9 @@ class VQGANConfig:
     # --- misc ---
     compute_dtype: str = "bfloat16"
     seed: int = 42
+    # input pipeline: "auto" = C++ async decode pipeline when buildable,
+    # falling back to the Python BatchLoader; True forces it, False disables
+    native_input: bool | str = "auto"
 
     @property
     def total_train_images(self) -> int:

@@ -23,7 +23,8 @@ import numpy as np
 
 from vqgan_tpu.data._native_build import build_native_lib
 
-__all__ = ["load_decoder_lib", "decode_jpeg_batch", "NativePipeline"]
+__all__ = ["load_decoder_lib", "decode_jpeg_batch", "NativePipeline",
+           "NativeBatchLoader", "make_batch_loader"]
 
 _SRC = Path(__file__).parent.parent.parent / "native" / "image_decoder.cpp"
 _LIB_DIR = Path(__file__).parent / "_native"
@@ -47,7 +48,7 @@ def load_decoder_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float), ctypes.c_int,
         ]
         lib.image_decoder_abi_version.restype = ctypes.c_int
-        assert lib.image_decoder_abi_version() == 2
+        assert lib.image_decoder_abi_version() == 3
         lib.pipeline_create.restype = ctypes.c_void_p
         lib.pipeline_create.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
@@ -56,7 +57,8 @@ def load_decoder_lib() -> Optional[ctypes.CDLL]:
         ]
         lib.pipeline_next.restype = ctypes.c_long
         lib.pipeline_next.argtypes = [
-            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float)]
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int)]
         lib.pipeline_destroy.restype = None
         lib.pipeline_destroy.argtypes = [ctypes.c_void_p]
         _lib_cache = lib
@@ -120,17 +122,21 @@ class NativePipeline:
     def available(self) -> bool:
         return self._handle is not None
 
-    def next(self) -> np.ndarray:
-        """Blocking: the next [batch, S, S, 3] float32 [0,1] batch."""
+    def next(self, return_indices: bool = False):
+        """Blocking: the next [batch, S, S, 3] float32 [0,1] batch; with
+        return_indices, also the [batch] int32 dataset indices it holds
+        (the key to labels/metadata under shuffling)."""
         assert self._handle is not None
         out = np.empty((self.batch, self.image_size, self.image_size, 3),
                        np.float32)
+        idx = np.empty((self.batch,), np.int32)
         seq = self._lib.pipeline_next(
-            self._handle, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+            self._handle, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
         if seq < 0:
             raise RuntimeError(f"native pipeline decode failed (code {seq})")
         self._seq = int(seq)
-        return out
+        return (out, idx) if return_indices else out
 
     def close(self) -> None:
         if self._handle is not None:
@@ -148,3 +154,60 @@ class NativePipeline:
             self.close()
         except Exception:
             pass
+
+
+class NativeBatchLoader:
+    """Drop-in BatchLoader replacement backed by NativePipeline: yields
+    (images, labels) endlessly with decode running GIL-free in C++ worker
+    threads. Works for any dataset exposing `.items` [(path, label)] with
+    plain [0,1] float semantics (e.g. ImageFolderDataset without ImageNet
+    normalization). Use make_batch_loader for the availability-checked
+    construction."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 seed: int = 0, n_threads: int = 2, depth: int = 3):
+        paths = [p for p, _ in dataset.items]
+        self._labels = np.asarray([l for _, l in dataset.items], np.int32)
+        self.batch_size = batch_size
+        self._pipe = NativePipeline(
+            paths, dataset.image_size, batch_size, n_threads=n_threads,
+            depth=depth, seed=seed, shuffle=shuffle)
+
+    @property
+    def available(self) -> bool:
+        return self._pipe.available
+
+    def __iter__(self):
+        while True:
+            imgs, idxs = self._pipe.next(return_indices=True)
+            yield imgs, self._labels[idxs]
+
+    def close(self) -> None:
+        self._pipe.close()
+
+
+def make_batch_loader(dataset, batch_size: int, shuffle: bool = True,
+                      seed: int = 0, native: str | bool = "auto", **kw):
+    """BatchLoader factory: the native C++ pipeline when it applies
+    (repeat-style training iteration, plain-float dataset with .items,
+    compiler/libjpeg present), else the Python BatchLoader.
+
+    native: True (require, raise if unavailable), False (never), "auto"."""
+    from .datasets import BatchLoader
+
+    plain = (hasattr(dataset, "items") and hasattr(dataset, "image_size")
+             and not getattr(dataset, "imagenet_norm", False))
+    if native and plain and len(dataset.items) >= batch_size:
+        loader = NativeBatchLoader(dataset, batch_size, shuffle=shuffle,
+                                   seed=seed)
+        if loader.available:
+            return loader
+        if native is True:
+            raise RuntimeError("native input pipeline requested but the "
+                               "C++ decoder is unavailable")
+    elif native is True:
+        raise RuntimeError(f"native input pipeline requires a plain-float "
+                           f".items dataset with >= batch_size items; got "
+                           f"{type(dataset).__name__}")
+    return BatchLoader(dataset, batch_size, shuffle=shuffle, seed=seed,
+                       repeat=True, **kw)

@@ -25,7 +25,7 @@ import numpy as np
 
 from ..checkpoint import CheckpointManager
 from ..configs import VQGANConfig
-from ..data import BatchLoader, ImageFolderDataset, load_split
+from ..data import ImageFolderDataset, load_split
 from ..models import VQVAE
 from ..models.discriminator import PatchGANDiscriminator
 from ..models.lpips import LPIPS, perceptual_loss_fn
@@ -146,9 +146,11 @@ class VQGANTrainer:
             split = load_split(split_path)
             dataset = ImageFolderDataset(
                 cfg.data_path, split, "train", image_size=cfg.image_size)
-            self.loader = BatchLoader(
+            from ..data.native_image import make_batch_loader
+
+            self.loader = make_batch_loader(
                 dataset, cfg.batch_size, shuffle=True, seed=cfg.seed,
-                repeat=True)
+                native=getattr(cfg, "native_input", "auto"))
 
         self.ckpt = CheckpointManager(cfg.results_folder, prefix="vqgan")
         self.watchdog = TrainingWatchdog()
