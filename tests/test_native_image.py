@@ -226,3 +226,15 @@ def test_make_batch_loader_fallbacks(tmp_path, jpegs):
     assert isinstance(make_batch_loader(Norm(), 2), BatchLoader)
     with pytest.raises(RuntimeError, match="plain-float"):
         make_batch_loader(Norm(), 2, native=True)
+
+
+def test_folder_dataset_uses_native_loader(jpegs):
+    from vqgan_tpu.data.native_image import (NativeBatchLoader,
+                                             make_batch_loader)
+    from vqgan_tpu.training.ddpm_trainer import FolderDataset
+
+    ds = FolderDataset(Path(jpegs[0]).parent, image_size=16)
+    loader = make_batch_loader(ds, 2, seed=1)
+    assert isinstance(loader, NativeBatchLoader)
+    imgs, labels = next(iter(loader))
+    assert imgs.shape == (2, 16, 16, 3) and (labels == 0).all()

@@ -197,6 +197,10 @@ def make_batch_loader(dataset, batch_size: int, shuffle: bool = True,
 
     plain = (hasattr(dataset, "items") and hasattr(dataset, "image_size")
              and not getattr(dataset, "imagenet_norm", False))
+    if plain:
+        # libjpeg-only decoder: PNG/BMP datasets keep the PIL path
+        plain = all(str(p).lower().endswith((".jpg", ".jpeg"))
+                    for p, _ in dataset.items)
     if native and plain and len(dataset.items) >= batch_size:
         loader = NativeBatchLoader(dataset, batch_size, shuffle=shuffle,
                                    seed=seed)
@@ -207,7 +211,7 @@ def make_batch_loader(dataset, batch_size: int, shuffle: bool = True,
                                "C++ decoder is unavailable")
     elif native is True:
         raise RuntimeError(f"native input pipeline requires a plain-float "
-                           f".items dataset with >= batch_size items; got "
-                           f"{type(dataset).__name__}")
+                           f"all-JPEG .items dataset with >= batch_size "
+                           f"items; got {type(dataset).__name__}")
     return BatchLoader(dataset, batch_size, shuffle=shuffle, seed=seed,
                        repeat=True, **kw)

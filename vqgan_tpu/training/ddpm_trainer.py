@@ -20,7 +20,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..checkpoint import CheckpointManager
-from ..data.datasets import BatchLoader
 from ..data.splits import IMAGE_EXTENSIONS
 from ..parallel import make_mesh_for_batch, replicate, shard_batch
 from .ldm_step import LDMTrainState, make_ldm_optimizer
@@ -47,6 +46,12 @@ class FolderDataset:
 
     def __getitem__(self, i):
         return self._load(self.paths[i], self.image_size), 0
+
+    @property
+    def items(self):
+        """[(path, label)] view — unlocks the native C++ input pipeline
+        (data.native_image.make_batch_loader)."""
+        return [(p, 0) for p in self.paths]
 
 
 class Trainer:
@@ -133,8 +138,13 @@ class Trainer:
         if dataset is None and folder is not None:
             dataset = FolderDataset(folder, diffusion.image_size)
         if dataset is not None:
-            self.loader = BatchLoader(dataset, train_batch_size, repeat=True,
-                                      seed=seed)
+            from ..data.native_image import make_batch_loader
+
+            # native C++ decode pipeline when the dataset is a plain image
+            # folder and the library builds; Python BatchLoader otherwise
+            # (e.g. Dataset1D)
+            self.loader = make_batch_loader(dataset, train_batch_size,
+                                            shuffle=True, seed=seed)
 
         self.ckpt = CheckpointManager(self.results_folder, prefix="model")
 
