@@ -200,6 +200,19 @@ def main():
                 "--output_dir", str(gen_dir), "--all_users",
                 "--num_images", str(a.gen_per_user),
                 "--batch_size", str(a.gen_per_user))),
+        "serving": dict(
+            artifact=ws / "serving" / "generated" / "ID_1",
+            run=lambda: (
+                run_cli(ws, "serving_export", "export_serving.py",
+                        "--checkpoint", str(ldm_dir),
+                        "--vae_path", str(vae_ckpt),
+                        "--out", str(ws / "serving" / "artifact"),
+                        "--batch_size", "4", "--selftest"),
+                run_cli(ws, "serving_generate", "serve_generate.py",
+                        "--artifact", str(ws / "serving" / "artifact"),
+                        "--output_dir", str(ws / "serving" / "generated"),
+                        "--user_ids", "1", "2",
+                        "--num_images", "2"))),
         "vqgan": dict(
             artifact=vqgan_dir / "vqgan-1",
             run=lambda: run_cli(
@@ -284,6 +297,9 @@ def main():
     n_gen = sum(1 for _ in gen_dir.glob("ID_*/*.jpg")) if gen_dir.exists() \
         else 0
     summary["generated_images"] = n_gen
+    srv = ws / "serving" / "generated"
+    summary["serving_images"] = (
+        sum(1 for _ in srv.glob("ID_*/*.jpg")) if srv.exists() else 0)
     report["summary"] = summary
     report_path.write_text(json.dumps(report, indent=2))
     print(json.dumps(summary, indent=2))
