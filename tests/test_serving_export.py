@@ -302,3 +302,33 @@ def test_multi_device_serving_artifact(tmp_path):
     out2 = sample2(key, classes)
     np.testing.assert_allclose(np.asarray(out2), want, rtol=1e-6)
     assert {d.id for d in out2.sharding.device_set} == {2, 3}
+
+
+def test_tensor_parallel_serving_artifact(tmp_path):
+    """param_specs shards MODEL WEIGHTS over the mesh (tensor-parallel
+    serving): a dense layer with its kernel split over 'model' reproduces
+    the replicated result across 2 devices."""
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    mesh = Mesh(np.array(jax.devices()[:2]).reshape(2), ("model",))
+
+    k = jax.random.PRNGKey(0)
+    params = {"w": jax.random.normal(k, (8, 16)),   # kernel: shard dim 1
+              "b": jnp.zeros((16,))}
+
+    def fn(p, x):
+        return jnp.tanh(x @ p["w"] + p["b"])
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 8))
+    want = np.asarray(jax.jit(fn)(params, x))
+
+    outdir = tmp_path / "tp_artifact"
+    export_cfg_sampler(
+        fn, params, (x,), outdir, platforms=["cpu"], mesh=mesh,
+        arg_specs=(P(),),                       # input replicated
+        param_specs={"w": P(None, "model"),     # kernel column-sharded
+                     "b": P("model")})
+    sample = load_cfg_sampler(outdir)
+    out = sample(x)
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-6)
+    assert len(out.sharding.device_set) == 2

@@ -125,7 +125,7 @@ def export_cfg_sampler(fn: Callable, params: Any,
                        example_args: Sequence[Any], outdir,
                        platforms: Sequence[str] | None = None,
                        config: dict | None = None,
-                       mesh=None, arg_specs=None) -> None:
+                       mesh=None, arg_specs=None, param_specs=None) -> None:
     """Export `fn(params, *example_args)` plus its params as a
     self-contained serving directory.
 
@@ -133,11 +133,14 @@ def export_cfg_sampler(fn: Callable, params: Any,
     (e.g. PRNG key, class labels) stay call-time inputs.
 
     mesh + arg_specs make a MULTI-DEVICE artifact: the program is jitted
-    over the Mesh with params replicated and each call-time argument
-    sharded per its PartitionSpec (e.g. P("data") on the class-label batch
-    for data-parallel serving). The artifact then requires the same number
-    of devices (any devices, same axis layout) at load time — the TPU-pod
-    serving story, with XLA inserting the collectives.
+    over the Mesh with each call-time argument sharded per its
+    PartitionSpec (e.g. P("data") on the class-label batch for
+    data-parallel serving). param_specs (a PartitionSpec pytree matching
+    `params`, e.g. from parallel.tp rules) additionally shards the model
+    weights over the mesh — tensor-parallel serving for models bigger than
+    one chip; default replicated. The artifact then requires the same
+    number of devices (any devices, same axis layout) at load time — the
+    TPU-pod serving story, with XLA inserting the collectives.
     """
     outdir = Path(outdir)
     outdir.mkdir(parents=True, exist_ok=True)
@@ -158,7 +161,18 @@ def export_cfg_sampler(fn: Callable, params: Any,
         if arg_specs is None:
             arg_specs = tuple(PartitionSpec() for _ in example_args)
         repl = NamedSharding(mesh, PartitionSpec())
-        in_shardings = (tuple(repl for _ in leaves),) + tuple(
+        if param_specs is None:
+            flat_param_sh = tuple(repl for _ in leaves)
+        else:
+            spec_leaves = jax.tree.flatten(
+                param_specs,
+                is_leaf=lambda x: isinstance(x, PartitionSpec))[0]
+            assert len(spec_leaves) == len(leaves), (
+                f"param_specs has {len(spec_leaves)} leaves, params have "
+                f"{len(leaves)}")
+            flat_param_sh = tuple(
+                NamedSharding(mesh, s) for s in spec_leaves)
+        in_shardings = (flat_param_sh,) + tuple(
             NamedSharding(mesh, s) for s in arg_specs)
         mesh_meta = {"shape": list(mesh.devices.shape),
                      "axes": list(mesh.axis_names),
