@@ -75,16 +75,11 @@ def export_program(fn: Callable, example_args: Sequence[Any], path,
     Path(path).write_bytes(exp.serialize())
 
 
-def load_program(path, mesh=None) -> Callable:
-    """Deserialize an exported program; returns a callable running it via
-    the current backend (jax.jit over Exported.call keeps dispatch fast).
-
-    A program exported over an N-device mesh must be called over N devices
-    again: pass a Mesh with the same axis names/shape (any N devices), or
-    let the default build one from the first N of jax.devices()."""
+def _load_exported(path, mesh=None):
+    """(exp, mesh_or_None, jitted call) for an exported program file."""
     exp = jax_export.deserialize(Path(path).read_bytes())
     if exp.nr_devices == 1:
-        return jax.jit(exp.call)
+        return exp, None, jax.jit(exp.call)
     if mesh is None:
         mesh = _default_mesh_like(exp)
     # in/out_shardings_jax are FLAT (one per leaf); jit wants them shaped
@@ -94,7 +89,18 @@ def load_program(path, mesh=None) -> Callable:
     assert not kwargs_sh, "exported programs are positional-only"
     outs_sh = jax.tree.unflatten(
         exp.out_tree, list(exp.out_shardings_jax(mesh)))
-    return jax.jit(exp.call, in_shardings=args_sh, out_shardings=outs_sh)
+    return exp, mesh, jax.jit(exp.call, in_shardings=args_sh,
+                              out_shardings=outs_sh)
+
+
+def load_program(path, mesh=None) -> Callable:
+    """Deserialize an exported program; returns a callable running it via
+    the current backend (jax.jit over Exported.call keeps dispatch fast).
+
+    A program exported over an N-device mesh must be called over N devices
+    again: pass a Mesh with the same axis names/shape (any N devices), or
+    let the default build one from the first N of jax.devices()."""
+    return _load_exported(path, mesh)[2]
 
 
 def _default_mesh_like(exp):
@@ -203,7 +209,15 @@ def load_cfg_sampler(outdir, mesh=None) -> Callable:
     outdir = Path(outdir)
     data = np.load(outdir / "params.npz")
     leaves = tuple(data[str(i)] for i in range(len(data.files)))
-    run = load_program(outdir / "program.bin", mesh=mesh)
+    exp, mesh, run = _load_exported(outdir / "program.bin", mesh=mesh)
+    # place the weights ONCE at load (per their exported shardings on a
+    # mesh) — numpy leaves would otherwise re-upload on every request
+    if mesh is None:
+        leaves = tuple(jax.device_put(l) for l in leaves)
+    else:
+        param_sh = exp.in_shardings_jax(mesh)[:len(leaves)]
+        leaves = tuple(jax.device_put(l, s)
+                       for l, s in zip(leaves, param_sh))
 
     def call(*args):
         return run(leaves, *args)
@@ -270,7 +284,8 @@ def load_vq_codec(outdir) -> tuple[Callable, Callable]:
     """
     outdir = Path(outdir)
     data = np.load(outdir / "params.npz")
-    leaves = tuple(data[str(i)] for i in range(len(data.files)))
+    leaves = tuple(jax.device_put(data[str(i)])
+                   for i in range(len(data.files)))  # upload weights once
     run_enc = load_program(outdir / "encode.bin")
     run_dec = load_program(outdir / "decode.bin")
     return (lambda images: run_enc(leaves, images),
