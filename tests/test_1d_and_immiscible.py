@@ -91,3 +91,48 @@ def test_dataset1d():
     assert len(ds) == 10
     item, label = ds[3]
     np.testing.assert_allclose(item, data[3], rtol=1e-6)
+
+
+def test_auction_assignment_matches_hungarian_quality():
+    """ops/assignment.py ε-auction: valid permutation, cost within the
+    theoretical b*eps (= range/2) bound of scipy's optimum — in practice
+    near-exact — at several batch sizes including b=1."""
+    import numpy as np
+    from scipy.optimize import linear_sum_assignment
+
+    from vqgan_tpu.ops.assignment import auction_assignment
+
+    rng = np.random.default_rng(0)
+    for b in (1, 2, 7, 32):
+        d = rng.random((b, b)).astype(np.float32) * 10.0
+        cols = np.asarray(jax.jit(auction_assignment)(jnp.asarray(d)))
+        assert sorted(cols.tolist()) == list(range(b)), cols
+        cost = float(d[np.arange(b), cols].sum())
+        _, opt_cols = linear_sum_assignment(d)
+        opt = float(d[np.arange(b), opt_cols].sum())
+        bound = (d.max() - d.min()) / 2 + 1e-4
+        assert cost <= opt + bound, (b, cost, opt)
+        # near-exact in practice
+        assert cost <= opt * 1.05 + 1e-3, (b, cost, opt)
+
+
+def test_immiscible_auction_method_in_graph():
+    """method='auction' needs no host callback: the jaxpr contains no
+    pure_callback, and the result quality matches the host method."""
+    import numpy as np
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (8, 4, 4, 3))
+    noise = jax.random.normal(jax.random.fold_in(key, 1), (8, 4, 4, 3))
+
+    jaxpr = jax.make_jaxpr(
+        lambda a, b: _immiscible_assignment(a, b, method="auction"))(x, noise)
+    assert "callback" not in str(jaxpr), "auction method must stay on device"
+
+    got = _immiscible_assignment(x, noise, method="auction")
+    want = _immiscible_assignment(x, noise, method="host")
+
+    def cost(n):
+        return float(jnp.sum((x.reshape(8, -1) - n.reshape(8, -1)) ** 2))
+
+    assert cost(got) <= cost(want) * 1.05 + 1e-3

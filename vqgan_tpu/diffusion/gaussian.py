@@ -39,12 +39,13 @@ def _identity(x):
     return x
 
 
-def _immiscible_assignment(x_start: jax.Array, noise: jax.Array) -> jax.Array:
+def _immiscible_assignment(x_start: jax.Array, noise: jax.Array,
+                           method: str = "host") -> jax.Array:
     """Immiscible diffusion (arXiv 2406.12303): permute the noise batch so
-    each sample gets its nearest noise draw, via an exact Hungarian
-    assignment on the host (reference ddpm.py:769-781 uses scipy's
-    linear_sum_assignment; batch sizes are tiny so a pure_callback beats a
-    device-side approximation)."""
+    each sample gets its nearest noise draw. method="host" is the exact
+    Hungarian assignment via pure_callback (reference ddpm.py:769-781 uses
+    scipy's linear_sum_assignment); method="auction" solves the assignment
+    ON DEVICE (ops/assignment.py ε-auction) — no host sync in the step."""
     b = x_start.shape[0]
     xf = x_start.reshape(b, -1).astype(jnp.float32)
     nf = noise.reshape(b, -1).astype(jnp.float32)
@@ -54,6 +55,12 @@ def _immiscible_assignment(x_start: jax.Array, noise: jax.Array) -> jax.Array:
         - 2.0 * jnp.dot(xf, nf.T, preferred_element_type=jnp.float32)
         + jnp.sum(nf**2, 1)[None, :]
     )
+
+    if method == "auction":
+        from ..ops.assignment import auction_assignment
+
+        return noise[auction_assignment(dist)]
+    assert method == "host", method
 
     def host_assign(d):
         from scipy.optimize import linear_sum_assignment
@@ -94,6 +101,11 @@ class GaussianDiffusion:
     use_cfg_plus_plus: bool = False
     auto_normalize: bool = True
     immiscible: bool = False
+    # "host": exact scipy Hungarian via pure_callback (reference-exact,
+    # but a device→host sync per step). "auction": ops/assignment.py
+    # ε-auction entirely in-graph — no callback, pipelined-execution- and
+    # multi-host-safe, within b·ε of optimal (immaterial for a heuristic).
+    immiscible_method: str = "host"
     self_condition: bool = False  # unconditional models only (reference
     # ddpm.py: 50% coin-flip stop-gradient x0 estimate during training,
     # previous step's x0 during sampling)
@@ -223,7 +235,8 @@ class GaussianDiffusion:
         if noise is None:
             noise = jax.random.normal(k_noise, x_start.shape, jnp.float32)
         if self.immiscible:
-            noise = _immiscible_assignment(x_start, noise)
+            noise = _immiscible_assignment(
+                x_start, noise, method=self.immiscible_method)
         if self.offset_noise_strength > 0.0:
             # per-(sample, channel) constant offset (reference ddpm.py:793-799)
             offset = jax.random.normal(
