@@ -120,6 +120,11 @@ def main():
                     help="cfg_sampler: export data-parallel over N devices "
                          "(batch sharded over a 'data' mesh axis; serving "
                          "then requires N devices)")
+    ap.add_argument("--params_dtype", choices=["float32", "bfloat16"],
+                    default="float32",
+                    help="bfloat16 halves the artifact size and the "
+                         "per-step weight reads (compute is bf16 already); "
+                         "the selftest reports the resulting pixel drift")
     ap.add_argument("--selftest", action="store_true",
                     help="reload the artifact and check it matches the live "
                          "pipeline on one batch")
@@ -152,6 +157,13 @@ def main():
                                    rescaled_phi=args.rescaled_phi)
         return vae.apply(p["vae"], latents, method=KLVAE.decode_latents)
 
+    all_params = {"ldm": params, "vae": vae_params}
+    if args.params_dtype == "bfloat16":
+        all_params = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x,
+            all_params)
+
     key = jax.random.PRNGKey(0)
     classes = jnp.zeros((b,), jnp.int32)
     mesh, arg_specs = None, None
@@ -165,10 +177,11 @@ def main():
         mesh = Mesh(np.array(jax.devices()[:args.dp]), ("data",))
         arg_specs = (P(), P("data"))  # key replicated, batch sharded
     export_cfg_sampler(
-        pipeline, {"ldm": params, "vae": vae_params}, (key, classes),
+        pipeline, all_params, (key, classes),
         args.out, platforms=args.platforms, mesh=mesh, arg_specs=arg_specs,
         config={"batch_size": b, "cond_scale": cond_scale,
                 "rescaled_phi": args.rescaled_phi,
+                "params_dtype": args.params_dtype,
                 "image_size": config.image_size,
                 "num_users": config.num_users})
     print(f"exported serving artifact to {args.out} "
@@ -178,8 +191,12 @@ def main():
     if args.selftest:
         call = load_cfg_sampler(args.out)
         got = np.asarray(call(key, classes))
-        want = np.asarray(jax.jit(pipeline)(
-            {"ldm": params, "vae": vae_params}, key, classes))
+        want = np.asarray(jax.jit(pipeline)(all_params, key, classes))
+        if args.params_dtype == "bfloat16":
+            fp32 = np.asarray(jax.jit(pipeline)(
+                {"ldm": params, "vae": vae_params}, key, classes))
+            print(f"bf16-weights pixel drift vs fp32 weights: "
+                  f"max|Δ| {np.abs(got - fp32).max():.4f} on [0,1]")
         # sharded executables tile/reassociate reductions differently from
         # the single-device program; over a 150-step iterative sampler the
         # fp drift reaches ~1e-4 on [0,1] pixels — identical images, not a

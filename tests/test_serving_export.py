@@ -332,3 +332,31 @@ def test_tensor_parallel_serving_artifact(tmp_path):
     out = sample(x)
     np.testing.assert_allclose(np.asarray(out), want, rtol=1e-6)
     assert len(out.sharding.device_set) == 2
+
+
+def test_bf16_params_artifact_roundtrip(tmp_path):
+    """bfloat16 param leaves survive the npz round-trip (numpy stores them
+    as raw void bytes; meta.json dtype tags restore them) and the loaded
+    artifact reproduces the live bf16 program exactly at half the size."""
+    w = jnp.linspace(-1.0, 1.0, 64).reshape(8, 8)
+
+    def fn(p, x):
+        return jnp.tanh(x @ p["w"].astype(jnp.float32) + p["n"])
+
+    x = jnp.ones((2, 8))
+    p32 = {"w": w, "n": jnp.int32(0)}
+    p16 = {"w": w.astype(jnp.bfloat16), "n": jnp.int32(0)}
+    want = np.asarray(jax.jit(fn)(p16, x))
+
+    out32, out16 = tmp_path / "fp32", tmp_path / "bf16"
+    export_cfg_sampler(fn, p32, (x,), out32, platforms=["cpu"])
+    export_cfg_sampler(fn, p16, (x,), out16, platforms=["cpu"])
+
+    got = np.asarray(load_cfg_sampler(out16)(x))
+    np.testing.assert_array_equal(got, want)
+
+    import json as _json
+    meta = _json.loads((out16 / "meta.json").read_text())
+    assert "bfloat16" in meta["param_dtypes"]
+    assert (out16 / "params.npz").stat().st_size < \
+        (out32 / "params.npz").stat().st_size

@@ -152,8 +152,7 @@ def export_cfg_sampler(fn: Callable, params: Any,
     outdir.mkdir(parents=True, exist_ok=True)
 
     leaves, treedef = jax.tree.flatten(params)
-    np.savez(outdir / "params.npz",
-             **{str(i): np.asarray(l) for i, l in enumerate(leaves)})
+    param_dtypes = _save_params(outdir, leaves)
 
     def flat_fn(flat_params, *args):
         p = jax.tree.unflatten(treedef, list(flat_params))
@@ -191,6 +190,7 @@ def export_cfg_sampler(fn: Callable, params: Any,
     meta = {
         "treedef": str(treedef),
         "n_params": len(leaves),
+        "param_dtypes": param_dtypes,
         "arg_shapes": [list(np.shape(a)) for a in example_args],
         "arg_dtypes": [str(np.asarray(a).dtype) for a in example_args],
         "platforms": list(platforms) if platforms else None,
@@ -200,6 +200,36 @@ def export_cfg_sampler(fn: Callable, params: Any,
     (outdir / "meta.json").write_text(json.dumps(meta, indent=1))
 
 
+def _save_params(outdir, leaves) -> list:
+    """params.npz + the per-leaf dtype tags. numpy serializes non-native
+    dtypes (bfloat16, fp8) as raw void bytes; the tags let the loader
+    re-view them."""
+    np.savez(Path(outdir) / "params.npz",
+             **{str(i): np.asarray(l) for i, l in enumerate(leaves)})
+    return [str(getattr(l, "dtype", np.asarray(l).dtype)) for l in leaves]
+
+
+def _restore_leaves(outdir) -> tuple:
+    """Load params.npz, re-viewing any non-native dtypes via the meta tags
+    (older artifacts without tags load as-is)."""
+    outdir = Path(outdir)
+    data = np.load(outdir / "params.npz")
+    leaves = [data[str(i)] for i in range(len(data.files))]
+    try:
+        tags = json.loads(
+            (outdir / "meta.json").read_text()).get("param_dtypes")
+    except Exception:
+        tags = None
+    if tags:
+        import ml_dtypes
+
+        for i, (leaf, tag) in enumerate(zip(leaves, tags)):
+            if leaf.dtype.kind == "V":  # raw bytes → re-view per tag
+                leaves[i] = leaf.view(np.dtype(getattr(
+                    ml_dtypes, tag, tag)))
+    return tuple(leaves)
+
+
 def load_cfg_sampler(outdir, mesh=None) -> Callable:
     """Load a serving directory; returns `call(*args)` with params bound.
 
@@ -207,8 +237,7 @@ def load_cfg_sampler(outdir, mesh=None) -> Callable:
     Multi-device artifacts build a default mesh over the first N local
     devices (or pass `mesh` explicitly)."""
     outdir = Path(outdir)
-    data = np.load(outdir / "params.npz")
-    leaves = tuple(data[str(i)] for i in range(len(data.files)))
+    leaves = _restore_leaves(outdir)
     exp, mesh, run = _load_exported(outdir / "program.bin", mesh=mesh)
     # place the weights ONCE at load (per their exported shardings on a
     # mesh) — numpy leaves would otherwise re-upload on every request
@@ -248,8 +277,7 @@ def export_vq_codec(encode_fn: Callable, decode_fn: Callable, params: Any,
     outdir.mkdir(parents=True, exist_ok=True)
 
     leaves, treedef = jax.tree.flatten(params)
-    np.savez(outdir / "params.npz",
-             **{str(i): np.asarray(l) for i, l in enumerate(leaves)})
+    param_dtypes = _save_params(outdir, leaves)
 
     def flat_encode(flat_params, images):
         return encode_fn(jax.tree.unflatten(treedef, list(flat_params)),
@@ -267,6 +295,7 @@ def export_vq_codec(encode_fn: Callable, decode_fn: Callable, params: Any,
     meta = {
         "programs": ["encode", "decode"],
         "n_params": len(leaves),
+        "param_dtypes": param_dtypes,
         "image_shape": list(np.shape(example_images)),
         "image_dtype": str(np.asarray(example_images).dtype),
         "index_shape": list(np.shape(example_indices)),
@@ -283,9 +312,8 @@ def load_vq_codec(outdir) -> tuple[Callable, Callable]:
     Needs only jax + numpy on the serving host — no vqgan_tpu model code.
     """
     outdir = Path(outdir)
-    data = np.load(outdir / "params.npz")
-    leaves = tuple(jax.device_put(data[str(i)])
-                   for i in range(len(data.files)))  # upload weights once
+    leaves = tuple(jax.device_put(l)
+                   for l in _restore_leaves(outdir))  # upload weights once
     run_enc = load_program(outdir / "encode.bin")
     run_dec = load_program(outdir / "decode.bin")
     return (lambda images: run_enc(leaves, images),
