@@ -282,7 +282,11 @@ def main():
         print(f"[{name}] done in {report['stages'][name]['seconds']}s")
 
     # ---- collect headline numbers from the stage artifacts
-    summary = {}
+    # Start from the previous report's summary: stages are resumable across
+    # machines, so a key whose artifact is absent HERE (e.g. generated
+    # images measured on a prior run) keeps its last measured value instead
+    # of being zeroed.
+    summary = dict(report.get("summary") or {})
     vm = ws / "vae_reconstruction" / "metrics.json"
     if vm.exists():
         m = json.loads(vm.read_text())
@@ -294,12 +298,12 @@ def main():
         if p.exists():
             summary[f"classifier_acc_{tag}"] = json.loads(
                 p.read_text()).get("accuracy")
-    n_gen = sum(1 for _ in gen_dir.glob("ID_*/*.jpg")) if gen_dir.exists() \
-        else 0
-    summary["generated_images"] = n_gen
+    if gen_dir.exists():
+        summary["generated_images"] = sum(
+            1 for _ in gen_dir.glob("ID_*/*.jpg"))
     srv = ws / "serving" / "generated"
-    summary["serving_images"] = (
-        sum(1 for _ in srv.glob("ID_*/*.jpg")) if srv.exists() else 0)
+    if srv.exists():
+        summary["serving_images"] = sum(1 for _ in srv.glob("ID_*/*.jpg"))
     report["summary"] = summary
     report_path.write_text(json.dumps(report, indent=2))
     print(json.dumps(summary, indent=2))
