@@ -45,6 +45,7 @@ import signal
 import subprocess
 import sys
 import time
+from functools import partial
 from pathlib import Path
 
 REPO = Path(__file__).parent
@@ -70,6 +71,10 @@ HEADLINE_FALLBACK = Path(os.environ.get(
     "BENCH_HEADLINE_FALLBACK", REPO / "results" / "bench_headline.json"))
 
 EXTRAS = ("cfg_sampling", "edm", "edm_dpmpp")
+# per-extra hard timeouts: the CFG DDIM-150 + VAE-decode program is the one
+# whose cold full-effort compile (~10 min through the TPU tunnel) exceeded
+# the generic 420 s budget in round 3 and dropped config #4 from the record
+EXTRA_TIMEOUTS_S = {"cfg_sampling": 900.0}
 
 
 # --------------------------------------------------------------------------
@@ -115,6 +120,12 @@ def _fake(name: str) -> dict | None:
     if os.environ.get("BENCH_FAKE_FAIL") == name:
         raise RuntimeError(f"injected failure in {name}")
     if os.environ.get("BENCH_FAKE_HANG") == name:
+        # fast-compile mode rescues a hang (simulates the cold-compile
+        # overrun that the BENCH_FAST_SAMPLER retry exists for)
+        if os.environ.get("BENCH_FAST_SAMPLER") == "1":
+            return {"metric": f"fake {name}", "value": 1.0,
+                    "unit": "fake/sec", "vs_baseline": None,
+                    "fast_compile": True}
         time.sleep(100000)
     return {"metric": f"fake {name}", "value": 1.0, "unit": "fake/sec",
             "vs_baseline": None}
@@ -245,7 +256,14 @@ def bench_cfg_sampling(batch: int = 16, steps: int = 150,
         {"params": jax.random.PRNGKey(1), "gaussian": jax.random.PRNGKey(2)},
         jnp.zeros((2, cfg.image_size, cfg.image_size, 3)))
 
-    @jax.jit
+    # fast-compile escape hatch (BENCH_FAST_SAMPLER=1): same trade as the
+    # stage-1 step's fast_compile (training/vqgan_step.py::_compile_options)
+    # — a few % exec time for minute-scale compiles — used by the capture
+    # harness only as a retry after a full-effort cold compile times out
+    fast = os.environ.get("BENCH_FAST_SAMPLER") == "1"
+    options = {"exec_time_optimization_effort": -1.0} if fast else None
+
+    @partial(jax.jit, compiler_options=options)
     def pipeline(p, vp, key, classes):
         latents = diffusion.sample(p, key, classes=classes,
                                    cond_scale=cond_scale,
@@ -264,7 +282,7 @@ def bench_cfg_sampling(batch: int = 16, steps: int = 150,
     dt = (time.perf_counter() - t0) / iters
     flops = jit_flops(pipeline, params, vae_params, key, classes)
     cpu = sampling_cpu_anchor("cfg4_sps")
-    return {
+    out = {
         "metric": f"CFG DDIM-{steps} sampling + VAE decode at 256px "
                   f"(dim=96 U-Net, cond_scale={cond_scale})",
         "value": round(b / dt, 3),
@@ -272,6 +290,9 @@ def bench_cfg_sampling(batch: int = 16, steps: int = 150,
         "vs_baseline": round(b / dt / cpu, 2) if cpu else None,
         **flops_report(flops, dt),
     }
+    if fast:
+        out["fast_compile"] = True
+    return out
 
 
 def bench_edm_dpmpp(batch: int = 128) -> dict:
@@ -427,13 +448,15 @@ def _emit(metric: dict) -> None:
     print(json.dumps(metric), flush=True)
 
 
-def _run_extra(name: str, timeout_s: float) -> dict | None:
+def _run_extra(name: str, timeout_s: float,
+               env: dict | None = None) -> dict | None:
     """One extra in its own interpreter under a hard timeout; returns its
     metric dict or None."""
     try:
         out = subprocess.run(
             [sys.executable, str(REPO / "bench.py"), "--only", name],
-            capture_output=True, text=True, timeout=timeout_s)
+            capture_output=True, text=True, timeout=timeout_s,
+            env={**os.environ, **(env or {})})
     except subprocess.TimeoutExpired:
         print(f"extra bench {name}: killed after {timeout_s:.0f}s",
               file=sys.stderr)
@@ -487,7 +510,10 @@ def main():
         _update_cache(headline=headline)
         try:
             HEADLINE_FALLBACK.parent.mkdir(parents=True, exist_ok=True)
-            HEADLINE_FALLBACK.write_text(json.dumps(headline, indent=1))
+            stamped = {**headline, "measured": (
+                f"{time.strftime('%Y-%m-%d')}, TPU v5e-1 (BASELINE.md); "
+                "refreshed automatically on every successful bench.py run")}
+            HEADLINE_FALLBACK.write_text(json.dumps(stamped, indent=1) + "\n")
         except Exception as e:
             print(f"headline fallback write failed: {e}", file=sys.stderr)
     except Exception as e:
@@ -504,9 +530,18 @@ def main():
     # re-printed after each so the FINAL JSON line is the headline even if
     # the driver kills this process mid-extras
     if os.environ.get("BENCH_SKIP_EXTRAS", "0") != "1":
-        extra_timeout = float(os.environ.get("BENCH_EXTRA_TIMEOUT_S", "420"))
+        env_timeout = os.environ.get("BENCH_EXTRA_TIMEOUT_S")
+        extra_timeout = float(env_timeout) if env_timeout else 420.0
         for name in EXTRAS:
-            metric = _run_extra(name, extra_timeout)
+            # per-extra defaults apply only when no explicit env override
+            budget_s = (extra_timeout if env_timeout
+                        else EXTRA_TIMEOUTS_S.get(name, extra_timeout))
+            metric = _run_extra(name, budget_s)
+            if metric is None and name == "cfg_sampling":
+                # full-effort cold compile overran: retry once in
+                # fast-compile mode so config #4 always lands a number
+                metric = _run_extra(name, extra_timeout,
+                                    env={"BENCH_FAST_SAMPLER": "1"})
             if metric is not None:
                 _emit(metric)
                 _emit(headline)

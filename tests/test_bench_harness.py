@@ -82,6 +82,19 @@ def test_hanging_extra_cannot_stall_the_run(tmp_path):
     assert {"fake edm", "fake edm_dpmpp"} <= metrics
 
 
+def test_hung_cfg_sampling_retries_in_fast_compile_mode(tmp_path):
+    """A cold full-effort sampler compile that overruns its budget (the
+    round-3 failure mode) must land a fast-compile number instead of
+    dropping config #4 from the record."""
+    out = run_bench(tmp_path, {"BENCH_FAKE_HANG": "cfg_sampling",
+                               "BENCH_EXTRA_TIMEOUT_S": "3"})
+    assert out.returncode == 0, out.stderr
+    lines = {l["metric"]: l for l in json_lines(out)}
+    assert "fake cfg_sampling" in lines
+    assert lines["fake cfg_sampling"].get("fast_compile") is True
+    assert final_line(out)["metric"] == "fake stage1"
+
+
 def test_crashing_extra_cannot_kill_the_headline(tmp_path):
     out = run_bench(tmp_path, {"BENCH_FAKE_FAIL": "edm"})
     assert out.returncode == 0, out.stderr

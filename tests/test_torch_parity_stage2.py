@@ -247,6 +247,71 @@ def test_ddim_step_parity(ref_cfg_mod, unet_pair, cond_scale):
                                atol=1e-6)
 
 
+@pytest.mark.parametrize("cond_scale,eta", [(1.0, 0.0), (3.0, 0.0),
+                                            (3.0, 1.0)])
+def test_ddim_full_chain_parity(ref_cfg_mod, unet_pair, cond_scale, eta):
+    """The ENTIRE production DDIM chain (reference :807-846), not one step:
+    identical weights + identical initial/per-step noise → same final
+    sample. η=1.0 is the reference's default stochastic-DDIM mode; noise is
+    injected on both sides (torch.randn/randn_like patched; our sampler's
+    init_noise/step_noise overrides)."""
+    import torch
+
+    tnet, jnet, params = unet_pair
+    n_steps, batch = 5, 2
+    tdiff = ref_cfg_mod.GaussianDiffusion(
+        tnet, image_size=SIZE, timesteps=T_STEPS,
+        sampling_timesteps=n_steps, objective="pred_v",
+        beta_schedule="cosine", ddim_sampling_eta=eta,
+        min_snr_loss_weight=True, min_snr_gamma=5, auto_normalize=False)
+    tdiff.eval()
+
+    def model_apply(p, x, t, classes, cond_drop_mask=None,
+                    cond_drop_prob=None, rng=None, return_features=False):
+        return jnet.apply(p, x, t, classes, cond_drop_mask=cond_drop_mask,
+                          cond_drop_prob=cond_drop_prob,
+                          rngs={"cond_drop": rng} if rng is not None else None,
+                          return_features=return_features)
+
+    from vqgan_tpu.diffusion import GaussianDiffusion
+
+    jdiff = GaussianDiffusion(
+        model_apply, image_size=SIZE, channels=CH, timesteps=T_STEPS,
+        sampling_timesteps=n_steps, objective="pred_v",
+        beta_schedule="cosine", ddim_sampling_eta=eta,
+        min_snr_loss_weight=True, min_snr_gamma=5.0, auto_normalize=False)
+
+    rs = np.random.RandomState(42)
+    init = rs.randn(batch, SIZE, SIZE, CH).astype(np.float32)
+    steps_noise = rs.randn(n_steps, batch, SIZE, SIZE, CH).astype(np.float32)
+    classes = np.array([1, 4], np.int64)
+
+    # drive the reference with the SAME noise: its ddim_sample draws
+    # torch.randn once (init) then torch.randn_like per step
+    queue = [_nchw(steps_noise[i]) for i in range(n_steps)]
+
+    def fake_randn(*a, **k):
+        return _nchw(init)
+
+    def fake_randn_like(x, **k):
+        return queue.pop(0)
+
+    with torch.no_grad(), \
+            pytest.MonkeyPatch.context() as mp:
+        mp.setattr(torch, "randn", fake_randn)
+        mp.setattr(torch, "randn_like", fake_randn_like)
+        img_t = tdiff.ddim_sample(
+            torch.from_numpy(classes), (batch, CH, SIZE, SIZE),
+            cond_scale=cond_scale, rescaled_phi=0.7)
+    img_t = _nhwc(img_t)
+
+    img_j = np.asarray(jdiff.ddim_sample(
+        params, jax.random.PRNGKey(0), (batch, SIZE, SIZE, CH),
+        jnp.asarray(classes), cond_scale=cond_scale, rescaled_phi=0.7,
+        init_noise=init, step_noise=steps_noise))
+    np.testing.assert_allclose(img_j, img_t, atol=2e-3)
+
+
 def test_patchgan_logits_parity():
     """Same weights (incl. BN running stats) → same patch logits, eval and
     train mode (reference discriminator.py:17-97)."""

@@ -327,16 +327,27 @@ class GaussianDiffusion:
         rescaled_phi: float = 0.7,
         clip_denoised: bool = True,
         return_all_timesteps: bool = False,
+        init_noise=None,
+        step_noise=None,
     ):
         """DDIM sampler as one lax.scan (reference cfg.py:807-840).
         return_all_timesteps stacks every intermediate along axis 1
-        (reference ddpm.py return_all_timesteps)."""
+        (reference ddpm.py return_all_timesteps).
+
+        init_noise / step_noise override the drawn randomness (init_noise:
+        `shape`; step_noise: `(sampling_timesteps, *shape)`) — used by the
+        torch full-chain parity tests to drive both samplers with identical
+        noise."""
         pairs = self._ddim_time_pairs()
         k_init, k_loop = jax.random.split(key)
-        img0 = jax.random.normal(k_init, shape, jnp.float32)
+        img0 = (jnp.asarray(init_noise, jnp.float32) if init_noise is not None
+                else jax.random.normal(k_init, shape, jnp.float32))
         xs0 = jnp.zeros(shape, jnp.float32)
+        inject = step_noise is not None
+        xs = (pairs, jnp.asarray(step_noise, jnp.float32)) if inject else pairs
 
-        def body(carry, pair):
+        def body(carry, x):
+            pair, given_noise = x if inject else (x, None)
             img, prev_x_start, k = carry
             time, time_next = pair[0], pair[1]
             tb = jnp.full((shape[0],), time, jnp.int32)
@@ -347,14 +358,15 @@ class GaussianDiffusion:
                 x_self_cond=prev_x_start if self.self_condition else None,
             )
             k, kn = jax.random.split(k)
-            noise = jax.random.normal(kn, shape, jnp.float32)
+            noise = (given_noise if inject
+                     else jax.random.normal(kn, shape, jnp.float32))
             img = dm.ddim_step(
                 self.schedule, img, x_start, pred_noise, time, time_next,
                 noise, self.ddim_sampling_eta,
             )
             return (img, x_start, k), (img if return_all_timesteps else None)
 
-        (img, _, _), steps = jax.lax.scan(body, (img0, xs0, k_loop), pairs)
+        (img, _, _), steps = jax.lax.scan(body, (img0, xs0, k_loop), xs)
         if return_all_timesteps:
             all_imgs = jnp.concatenate(
                 [img0[:, None], jnp.swapaxes(steps, 0, 1)], axis=1)
