@@ -41,6 +41,108 @@ from _common import REPO  # noqa: E402
 
 CLI = REPO / "cli"
 
+# Stage dependency graph: a stage's previously-measured numbers stop
+# describing the current pipeline when anything it (transitively) consumes
+# re-runs. vqgan/diagnose form a side branch off the split; the classifier
+# consumes the generated images, which consume the LDM, etc.
+STAGE_DEPS = {
+    "data": (),
+    "split": ("data",),
+    "kl_vae": ("split",),
+    "vae_report": ("kl_vae",),
+    "gmm": ("kl_vae",),
+    "ldm": ("gmm",),
+    "generate": ("ldm",),
+    "serving": ("ldm",),
+    "vqgan": ("split",),
+    "diagnose": ("vqgan",),
+    "classifier": ("generate",),
+}
+
+# Which stage each summary key is measured by.
+SUMMARY_STAGE = {
+    "vae_psnr": "vae_report",
+    "vae_ssim": "vae_report",
+    "vae_verdict": "vae_report",
+    "generated_images": "generate",
+    "serving_images": "serving",
+    "classifier_acc_real": "classifier",
+    "classifier_acc_real_plus_synth": "classifier",
+}
+
+
+def invalidated_stages(ran: set) -> set:
+    """Transitive-downstream closure of the stages that re-ran this
+    invocation: every stage in the returned set either re-ran or has a
+    (transitive) dependency that did, so any metric it measured BEFORE this
+    invocation no longer describes the current pipeline."""
+    out = set(ran)
+    changed = True
+    while changed:
+        changed = False
+        for stage, deps in STAGE_DEPS.items():
+            if stage not in out and any(d in out for d in deps):
+                out.add(stage)
+                changed = True
+    return out
+
+
+def collect_summary(ws: Path, report: dict, ran: set, gen_dir: Path,
+                    now: str) -> None:
+    """Rebuild report['summary'] + report['summary_provenance'].
+
+    Three provenance classes per key:
+      - measured: artifact read now AND its stage is not stale (re-ran this
+        invocation, or nothing upstream of it changed);
+      - carried: artifact absent here (cross-machine resume) but the stage
+        is not stale — previous value kept, tagged ``carried: true``;
+      - dropped: the stage is stale (an upstream stage re-ran without it) —
+        the key is removed so the summary can never silently pair metrics
+        from different model versions.
+    """
+    stale = invalidated_stages(ran) - ran
+    prev = dict(report.get("summary") or {})
+    prev_prov = dict(report.get("summary_provenance") or {})
+    summary, prov = {}, {}
+
+    def put(key, value):
+        stage = SUMMARY_STAGE[key]
+        summary[key] = value
+        prov[key] = {
+            "stage": stage,
+            "measured_at": (now if stage in ran else prev_prov.get(
+                key, {}).get("measured_at", "pre-existing artifact")),
+        }
+
+    vm = ws / "vae_reconstruction" / "metrics.json"
+    if "vae_report" not in stale and vm.exists():
+        m = json.loads(vm.read_text())
+        put("vae_psnr", m.get("mean_psnr"))
+        put("vae_ssim", m.get("mean_ssim"))
+        put("vae_verdict", m.get("verdict"))
+    if "classifier" not in stale:
+        for tag, p in (("real", ws / "classifier_real.json"),
+                       ("real_plus_synth", ws / "classifier_synth.json")):
+            if p.exists():
+                put(f"classifier_acc_{tag}",
+                    json.loads(p.read_text()).get("accuracy"))
+    if "generate" not in stale and gen_dir.exists():
+        put("generated_images", sum(1 for _ in gen_dir.glob("ID_*/*.jpg")))
+    srv = ws / "serving" / "generated"
+    if "serving" not in stale and srv.exists():
+        put("serving_images", sum(1 for _ in srv.glob("ID_*/*.jpg")))
+
+    # carry forward non-stale keys whose artifact is absent on THIS machine
+    for key, value in prev.items():
+        stage = SUMMARY_STAGE.get(key)
+        if key in summary or stage is None or stage in stale:
+            continue
+        summary[key] = value
+        prov[key] = {**prev_prov.get(key, {"stage": stage}), "carried": True}
+
+    report["summary"] = summary
+    report["summary_provenance"] = prov
+
 
 # ------------------------------------------------------------------ data --
 
@@ -118,6 +220,10 @@ def main():
     ap.add_argument("--classifier_epochs", type=int, default=3)
     ap.add_argument("--stages", nargs="*", default=None,
                     help="subset of stage names to run")
+    ap.add_argument("--vae_ckpt", default=None,
+                    help="use this stage-1 VAE checkpoint for every "
+                         "downstream stage instead of the one the kl_vae "
+                         "stage trains (e.g. a longer-budget run)")
     ap.add_argument("--force", action="store_true",
                     help="re-run stages whose artifacts already exist")
     a = ap.parse_args()
@@ -133,7 +239,8 @@ def main():
     gen_dir = ws / "generated"
     vqgan_dir = ws / "vqgan"
 
-    vae_ckpt = vae_dir / f"kl_vae-{max(1, a.vae_steps // 400)}"
+    vae_ckpt = (Path(a.vae_ckpt).absolute() if a.vae_ckpt
+                else vae_dir / f"kl_vae-{max(1, a.vae_steps // 400)}")
 
     def _uniform_train_count():
         # leave a test remainder for --verify
@@ -258,6 +365,7 @@ def main():
     report = (json.loads(report_path.read_text())
               if report_path.exists() else {"stages": {}})
 
+    ran = set()
     for name in stages:
         if name not in selected:
             continue
@@ -276,37 +384,20 @@ def main():
             report["stages"][name] = {"status": "FAILED", "error": str(e)}
             report_path.write_text(json.dumps(report, indent=2))
             raise
+        ran.add(name)
         report["stages"][name] = {
             "status": "ok", "seconds": round(time.time() - t0, 1), **extra}
         report_path.write_text(json.dumps(report, indent=2))
         print(f"[{name}] done in {report['stages'][name]['seconds']}s")
 
-    # ---- collect headline numbers from the stage artifacts
-    # Start from the previous report's summary: stages are resumable across
-    # machines, so a key whose artifact is absent HERE (e.g. generated
-    # images measured on a prior run) keeps its last measured value instead
-    # of being zeroed.
-    summary = dict(report.get("summary") or {})
-    vm = ws / "vae_reconstruction" / "metrics.json"
-    if vm.exists():
-        m = json.loads(vm.read_text())
-        summary["vae_psnr"] = m.get("mean_psnr")
-        summary["vae_ssim"] = m.get("mean_ssim")
-        summary["vae_verdict"] = m.get("verdict")
-    for tag, p in (("real", ws / "classifier_real.json"),
-                   ("real_plus_synth", ws / "classifier_synth.json")):
-        if p.exists():
-            summary[f"classifier_acc_{tag}"] = json.loads(
-                p.read_text()).get("accuracy")
-    if gen_dir.exists():
-        summary["generated_images"] = sum(
-            1 for _ in gen_dir.glob("ID_*/*.jpg"))
-    srv = ws / "serving" / "generated"
-    if srv.exists():
-        summary["serving_images"] = sum(1 for _ in srv.glob("ID_*/*.jpg"))
-    report["summary"] = summary
+    # ---- collect headline numbers from the stage artifacts, with
+    # provenance: anything downstream of a stage that re-ran is dropped
+    # unless it was itself re-measured; cross-machine carried values are
+    # tagged so readers can tell measured-now from measured-before.
+    collect_summary(ws, report, ran, gen_dir,
+                    now=time.strftime("%Y-%m-%d %H:%M:%S"))
     report_path.write_text(json.dumps(report, indent=2))
-    print(json.dumps(summary, indent=2))
+    print(json.dumps(report["summary"], indent=2))
 
 
 if __name__ == "__main__":
