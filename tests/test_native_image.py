@@ -192,7 +192,9 @@ def test_native_batch_loader_labels_track_shuffled_images(tmp_path):
     assert sorted(seen[:6]) == list(range(6))  # epoch 0 covers the dataset
 
 
-def test_make_batch_loader_fallbacks(tmp_path, jpegs):
+def test_make_batch_loader_fallbacks(tmp_path, jpegs, monkeypatch):
+    import os
+
     from vqgan_tpu.data.datasets import BatchLoader
     from vqgan_tpu.data.native_image import (NativeBatchLoader,
                                              make_batch_loader)
@@ -208,7 +210,16 @@ def test_make_batch_loader_fallbacks(tmp_path, jpegs):
         def __getitem__(self, i):
             return np.zeros((16, 16, 3), np.float32), 0
 
+    # auto is core-count-aware (measured: the ring loses on 1 core,
+    # BASELINE.md input-pipeline section)
+    monkeypatch.setattr(os, "cpu_count", lambda: 8)
     assert isinstance(make_batch_loader(Plain(), 2), NativeBatchLoader)
+    monkeypatch.setattr(os, "cpu_count", lambda: 1)
+    assert isinstance(make_batch_loader(Plain(), 2), BatchLoader)
+    # native=True requires the ring regardless of core count
+    assert isinstance(make_batch_loader(Plain(), 2, native=True),
+                      NativeBatchLoader)
+    monkeypatch.undo()
     # native=False -> Python loader
     assert isinstance(make_batch_loader(Plain(), 2, native=False),
                       BatchLoader)
@@ -234,7 +245,7 @@ def test_folder_dataset_uses_native_loader(jpegs):
     from vqgan_tpu.training.ddpm_trainer import FolderDataset
 
     ds = FolderDataset(Path(jpegs[0]).parent, image_size=16)
-    loader = make_batch_loader(ds, 2, seed=1)
+    loader = make_batch_loader(ds, 2, seed=1, native=True)
     assert isinstance(loader, NativeBatchLoader)
     imgs, labels = next(iter(loader))
     assert imgs.shape == (2, 16, 16, 3) and (labels == 0).all()

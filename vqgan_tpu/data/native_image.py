@@ -186,13 +186,29 @@ class NativeBatchLoader:
         self._pipe.close()
 
 
+# The async ring wins only when its decode workers get cores of their own:
+# on a 1-core host the ring's bookkeeping costs ~4 ms/batch and it LOSES to
+# the sync native get_batch path (109.6 vs 117.4 batches/s — round-3
+# microbench, BASELINE.md input-pipeline section; cli/bench_input_pipeline.py
+# to re-measure). The ring runs n_threads=2 decode workers plus the training
+# thread, so "auto" requires at least 3 cores before picking it; below that
+# it returns the Python BatchLoader, whose get_batch still uses the native
+# threaded decoder synchronously (datasets.py::ImageFolderDataset.get_batch).
+_ASYNC_MIN_CORES = 3
+
+
 def make_batch_loader(dataset, batch_size: int, shuffle: bool = True,
                       seed: int = 0, native: str | bool = "auto", **kw):
-    """BatchLoader factory: the native C++ pipeline when it applies
-    (repeat-style training iteration, plain-float dataset with .items,
-    compiler/libjpeg present), else the Python BatchLoader.
+    """BatchLoader factory: the async native C++ ring when it applies
+    (repeat-style training iteration, plain-float all-JPEG dataset with
+    .items, compiler/libjpeg present, enough cores for the decode workers
+    to overlap training — see _ASYNC_MIN_CORES), else the Python
+    BatchLoader (itself native-decode-accelerated per batch).
 
-    native: True (require, raise if unavailable), False (never), "auto"."""
+    native: True (require the async ring, raise if unavailable; skips the
+    core-count check), False (never), "auto" (measured dispatch)."""
+    import os
+
     from .datasets import BatchLoader
 
     plain = (hasattr(dataset, "items") and hasattr(dataset, "image_size")
@@ -201,7 +217,9 @@ def make_batch_loader(dataset, batch_size: int, shuffle: bool = True,
         # libjpeg-only decoder: PNG/BMP datasets keep the PIL path
         plain = all(str(p).lower().endswith((".jpg", ".jpeg"))
                     for p, _ in dataset.items)
-    if native and plain and len(dataset.items) >= batch_size:
+    enough_cores = (native is True
+                    or (os.cpu_count() or 1) >= _ASYNC_MIN_CORES)
+    if native and plain and enough_cores and len(dataset.items) >= batch_size:
         loader = NativeBatchLoader(dataset, batch_size, shuffle=shuffle,
                                    seed=seed)
         if loader.available:
