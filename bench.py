@@ -256,6 +256,16 @@ def bench_cfg_sampling(batch: int = 16, steps: int = 150,
         {"params": jax.random.PRNGKey(1), "gaussian": jax.random.PRNGKey(2)},
         jnp.zeros((2, cfg.image_size, cfg.image_size, 3)))
 
+    # serving-mode bf16 param buffers (BENCH_BF16_PARAMS=1): halves the
+    # per-NFE weight HBM traffic inside the scan; same cast the serving
+    # artifacts ship (cli/export_serving.py --params_dtype bfloat16,
+    # measured max 0.0094 pixel drift on [0,1] across the full pipeline)
+    if os.environ.get("BENCH_BF16_PARAMS") == "1":
+        cast = lambda t: jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, t)
+        params, vae_params = cast(params), cast(vae_params)
+
     # fast-compile escape hatch (BENCH_FAST_SAMPLER=1): same trade as the
     # stage-1 step's fast_compile (training/vqgan_step.py::_compile_options)
     # — a few % exec time for minute-scale compiles — used by the capture
@@ -281,6 +291,19 @@ def bench_cfg_sampling(batch: int = 16, steps: int = 150,
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / iters
     flops = jit_flops(pipeline, params, vae_params, key, classes)
+    # XLA cost analysis counts the DDIM scan body ONCE (see utils/flops.py)
+    # — reconstruct the true count from the per-step network call, costed
+    # from unoptimized HLO (no extra backend compile).
+    from vqgan_tpu.utils.flops import lowered_flops, scan_corrected_flops
+
+    def scan_body_net(p, x, t):
+        return diffusion.model_predictions(
+            p, x, t, classes, cond_scale=cond_scale,
+            rescaled_phi=cfg.rescaled_phi)
+
+    body_flops = lowered_flops(
+        scan_body_net, params, x0, jnp.full((b,), 500, jnp.int32))
+    flops = scan_corrected_flops(flops, body_flops, steps) or flops
     cpu = sampling_cpu_anchor("cfg4_sps")
     out = {
         "metric": f"CFG DDIM-{steps} sampling + VAE decode at 256px "
@@ -289,6 +312,7 @@ def bench_cfg_sampling(batch: int = 16, steps: int = 150,
         "unit": "samples/sec/chip",
         "vs_baseline": round(b / dt / cpu, 2) if cpu else None,
         **flops_report(flops, dt),
+        "scan_flops_corrected": body_flops is not None,
     }
     if fast:
         out["fast_compile"] = True
@@ -333,6 +357,10 @@ def bench_edm(batch: int = 16, image_size: int = 64, dim: int = 64,
     params = normalize_karras_params(model.init(
         jax.random.PRNGKey(0), jnp.zeros((b, image_size, image_size, 3)),
         jnp.zeros((b,)), class_labels=classes))
+    if os.environ.get("BENCH_BF16_PARAMS") == "1":  # serving-mode weights
+        params = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, params)
 
     def net_apply(p, x, t_noise, self_cond=None):
         return model.apply(p, x, t_noise, class_labels=classes)
@@ -351,6 +379,17 @@ def bench_edm(batch: int = 16, image_size: int = 64, dim: int = 64,
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / iters
     flops = jit_flops(run, params, jax.random.PRNGKey(1))
+    # XLA cost analysis counts the sampler scan body ONCE (utils/flops.py)
+    # — reconstruct: Heun does 2 preconditioned forwards per step, DPM++ 1.
+    from vqgan_tpu.utils.flops import lowered_flops, scan_corrected_flops
+
+    fwd_flops = lowered_flops(
+        lambda p, x, s: ed.preconditioned_forward(p, x, s, clamp=True),
+        params, jnp.zeros((b, image_size, image_size, 3)),
+        jnp.ones((b,)))
+    body_flops = (fwd_flops * (2 if sampler == "heun" else 1)
+                  if fwd_flops else None)
+    flops = scan_corrected_flops(flops, body_flops, num_sample_steps) or flops
     # the committed CPU anchor is Heun batch-1; only Heun compares to it
     cpu = sampling_cpu_anchor("cfg5_sps") if sampler == "heun" else None
     name = ("Heun" if sampler == "heun"
@@ -362,6 +401,7 @@ def bench_edm(batch: int = 16, image_size: int = 64, dim: int = 64,
         "unit": "samples/sec/chip",
         "vs_baseline": round(b / dt / cpu, 2) if cpu else None,
         **flops_report(flops, dt),
+        "scan_flops_corrected": body_flops is not None,
     }
 
 

@@ -159,8 +159,12 @@ def main():
         return vae.apply(vp, latents, method=KLVAE.decode_latents)
 
     def unet_once(p, x, t, classes):
-        return diffusion.model_apply(p, x, t, classes,
-                                     cond_drop_mask=jnp.zeros((b,), bool))
+        # the scan body's exact network call: single forward at
+        # cond_scale==1, the [cond; null] 2B-batched double forward under
+        # true CFG — so its cost IS the per-step body cost
+        return diffusion.model_predictions(
+            p, x, t, classes, cond_scale=args.cond_scale,
+            rescaled_phi=cfg.rescaled_phi)
 
     latents0 = jnp.zeros(
         (b, cfg.latent_size, cfg.latent_size, cfg.latent_channels))
@@ -176,19 +180,37 @@ def main():
     records.append(profile(
         "cfg4 VAE decode only", decode_only, (vae_params, latents0), b))
     records.append(profile(
-        "cfg4 single U-Net forward", unet_once,
-        (params, latents0, t0, classes), b))
+        "cfg4 single U-Net forward (the scan body's network call)",
+        unet_once, (params, latents0, t0, classes), b))
 
-    # per-step scan overhead: scan time vs steps x single forward
+    # XLA cost analysis counts the scan body ONCE (trip count is not in the
+    # HLO cost model) — correct the pipeline/scan records with the true
+    # count and attribute where the per-NFE time sits vs the body rooflines.
+    from vqgan_tpu.utils.flops import peak_tflops, scan_corrected_flops
+
+    peak = (peak_tflops() or 197.0) * 1e12
+    body = records[3]  # one scan step's network call, standalone program
+    for rec in records[:2]:  # full pipeline + scan-only
+        true = scan_corrected_flops(rec["flops"], body["flops"], args.steps)
+        rec["flops_true"] = true
+        rec["mfu_true"] = round(
+            true / (rec["t_measured_ms"] / 1e3) / peak, 4)
+        rec["scan_body_counted_once_by_xla"] = True
+
     scan_ms = records[1]["t_measured_ms"]
-    fwd_ms = records[3]["t_measured_ms"]
-    nfe = args.steps * (2 if args.cond_scale != 1.0 else 1)
+    per_step_ms = scan_ms / args.steps
     records.append({
-        "program": "cfg4 scan overhead analysis",
-        "scan_ms": scan_ms, "single_fwd_ms": fwd_ms, "nfe": nfe,
-        "nfe_x_fwd_ms": round(nfe * fwd_ms, 3),
-        "scan_overhead_pct": round(
-            100 * (scan_ms - nfe * fwd_ms) / scan_ms, 2),
+        "program": "cfg4 scan attribution",
+        "scan_ms": scan_ms, "steps": args.steps,
+        "per_step_in_scan_ms": round(per_step_ms, 3),
+        "standalone_body_ms": body["t_measured_ms"],
+        "body_t_mxu_ms": body["t_mxu_ms"], "body_t_hbm_ms": body["t_hbm_ms"],
+        "per_step_vs_body_roofline": round(
+            max(body["t_mxu_ms"], body["t_hbm_ms"]) / per_step_ms, 3),
+        "note": "per-step-in-scan below the standalone body time means the "
+                "scan amortizes dispatch/layout overhead; a ratio near 1.0 "
+                "vs the body roofline means the residual is structural "
+                "(model shape), not scheduling.",
     })
     print(json.dumps(records[-1]))
 
@@ -211,14 +233,37 @@ def main():
 
     ed = ElucidatedDiffusion(knet, image_size=64, channels=3,
                              num_sample_steps=32)
-    records.append(profile(
+    heun = profile(
         f"cfg5 EDM Heun-32 (KarrasUnet dim=64 @64px, b{b})",
         lambda p, k: ed.sample(p, k, batch_size=b),
-        (kparams, jax.random.PRNGKey(1)), b))
-    records.append(profile(
-        "cfg5 single Karras U-Net forward",
-        lambda p, x, t: kmodel.apply(p, x, t, class_labels=kclasses),
-        (kparams, jnp.zeros((b, 64, 64, 3)), jnp.ones((b,))), b))
+        (kparams, jax.random.PRNGKey(1)), b)
+    records.append(heun)
+    kfwd = profile(
+        "cfg5 single Karras U-Net forward (preconditioned)",
+        lambda p, x, s: ed.preconditioned_forward(p, x, s, clamp=True),
+        (kparams, jnp.zeros((b, 64, 64, 3)), jnp.ones((b,))), b)
+    records.append(kfwd)
+
+    # Heun does 2 preconditioned forwards per scan step
+    n5 = ed.num_sample_steps
+    true5 = scan_corrected_flops(heun["flops"], 2 * kfwd["flops"], n5)
+    heun["flops_true"] = true5
+    heun["mfu_true"] = round(
+        true5 / (heun["t_measured_ms"] / 1e3) / peak, 4)
+    heun["scan_body_counted_once_by_xla"] = True
+    per_nfe = heun["t_measured_ms"] / (2 * n5)
+    records.append({
+        "program": "cfg5 Heun attribution",
+        "per_nfe_in_scan_ms": round(per_nfe, 3),
+        "standalone_fwd_ms": kfwd["t_measured_ms"],
+        "fwd_t_mxu_ms": kfwd["t_mxu_ms"], "fwd_t_hbm_ms": kfwd["t_hbm_ms"],
+        "per_nfe_vs_fwd_roofline": round(
+            max(kfwd["t_mxu_ms"], kfwd["t_hbm_ms"]) / per_nfe, 3),
+        "note": "ratio near 1.0 = each in-scan NFE already runs at the "
+                "forward's own HBM roofline; the sampler is structurally "
+                "memory-bound at this model size, not scheduling-bound.",
+    })
+    print(json.dumps(records[-1]))
 
     if args.trace:
         trace_dir = REPO / "results" / "profiler_trace"

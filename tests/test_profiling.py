@@ -62,3 +62,33 @@ def test_roofline_profile_record():
         assert rec["bound"] in ("mxu", "hbm")
         assert rec["roofline_fraction"] > 0
         assert rec["arith_intensity_flops_per_byte"] > 0
+
+
+def test_scan_flops_counted_once_and_corrected():
+    """XLA cost analysis counts a lax.scan body ONCE (the trip count is not
+    in the HLO cost model) — the documented undercount behind the round-3
+    'single-digit sampling MFU'. scan_corrected_flops reconstructs the true
+    count; lowered_flops costs a body with no backend compile."""
+    from vqgan_tpu.utils.flops import (jit_flops, lowered_flops,
+                                       scan_corrected_flops)
+
+    w = jnp.ones((64, 64), jnp.float32)
+    x = jnp.ones((64, 64), jnp.float32)
+
+    def body_net(c):
+        return jnp.tanh(c @ w)
+
+    def scanned(c):
+        return jax.lax.scan(
+            lambda c, _: (body_net(c), None), c, None, length=10)[0]
+
+    program = jit_flops(jax.jit(scanned), x)
+    body = lowered_flops(body_net, x)
+    if program is None or body is None:  # backend without cost analysis
+        return
+    # the body's dot dominates; the scan program reports ~one body, not 10
+    assert program < 2 * body
+    true = scan_corrected_flops(program, body, 10)
+    assert true >= 10 * body * 0.9
+    assert scan_corrected_flops(None, body, 10) is None
+    assert scan_corrected_flops(program, None, 10) is None

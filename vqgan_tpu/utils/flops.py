@@ -8,6 +8,15 @@ achieved TFLOP/s and the fraction of the chip's peak that represents.
 Using XLA cost analysis counts the FLOPs of the program as compiled
 (including rematerialization), so the reported number is strictly an HFU
 (hardware-FLOPs utilization); for programs without remat it equals MFU.
+
+CRITICAL caveat for sampler programs: XLA's cost analysis counts the body
+of a `lax.scan` / `lax.while_loop` ONCE — the trip count is not part of the
+HLO cost model — so the raw number undercounts an N-step sampler by ~N×
+(measured: the compiled DDIM-150 scan reports exactly the FLOPs of one
+U-Net forward). `scan_corrected_flops` reconstructs the true count from the
+body FLOPs; `lowered_flops` costs a body from its UNOPTIMIZED lowered HLO,
+which needs no backend compile (cheap even through a remote-compile tunnel)
+and matches compiled counts for fusion-insensitive math (dots/convs).
 """
 
 from __future__ import annotations
@@ -16,7 +25,8 @@ from typing import Optional
 
 import jax
 
-__all__ = ["peak_tflops", "compiled_flops", "mfu", "flops_report"]
+__all__ = ["peak_tflops", "compiled_flops", "lowered_flops",
+           "scan_corrected_flops", "mfu", "flops_report"]
 
 # bf16 dense peak per chip, TFLOP/s (public Google Cloud TPU specs).
 _PEAK_BF16_TFLOPS = {
@@ -67,6 +77,33 @@ def jit_flops(jitted, *args, **kwargs) -> Optional[float]:
         return compiled_flops(jitted.lower(*args, **kwargs).compile())
     except Exception:
         return None
+
+
+def lowered_flops(fn, *args, **kwargs) -> Optional[float]:
+    """FLOPs of `fn(*args, **kwargs)` from the unoptimized lowered HLO —
+    no backend compile, so it is cheap even when compiles are minute-scale
+    (remote tunnel). Dot/conv counts match the compiled analysis; fusion
+    and remat effects are absent, which is fine for pure model forwards."""
+    try:
+        ca = jax.jit(fn).lower(*args, **kwargs).cost_analysis()
+        if isinstance(ca, (list, tuple)):  # older jax returned [dict]
+            ca = ca[0] if ca else {}
+        flops = ca.get("flops")
+        return float(flops) if flops and flops > 0 else None
+    except Exception:
+        return None
+
+
+def scan_corrected_flops(program_flops: Optional[float],
+                         body_flops: Optional[float],
+                         n_iters: int) -> Optional[float]:
+    """True FLOPs of a program whose hot loop is a `lax.scan`/`while_loop`
+    with `n_iters` trips: XLA's cost analysis counted the body once, so the
+    remaining (n_iters - 1) trips are added back. `body_flops` is the cost
+    of ONE trip (e.g. via lowered_flops on the per-step network call)."""
+    if program_flops is None or body_flops is None:
+        return None
+    return program_flops + (n_iters - 1) * body_flops
 
 
 def mfu(flops_per_step: Optional[float], step_time_s: float,
