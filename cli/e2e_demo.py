@@ -394,6 +394,8 @@ def main():
     # provenance: anything downstream of a stage that re-ran is dropped
     # unless it was itself re-measured; cross-machine carried values are
     # tagged so readers can tell measured-now from measured-before.
+    if a.vae_ckpt:  # record which stage-1 checkpoint the pipeline used
+        report["vae_ckpt_override"] = str(vae_ckpt)
     collect_summary(ws, report, ran, gen_dir,
                     now=time.strftime("%Y-%m-%d %H:%M:%S"))
     report_path.write_text(json.dumps(report, indent=2))
