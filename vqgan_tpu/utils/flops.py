@@ -83,15 +83,22 @@ def lowered_flops(fn, *args, **kwargs) -> Optional[float]:
     """FLOPs of `fn(*args, **kwargs)` from the unoptimized lowered HLO —
     no backend compile, so it is cheap even when compiles are minute-scale
     (remote tunnel). Dot/conv counts match the compiled analysis; fusion
-    and remat effects are absent, which is fine for pure model forwards."""
-    try:
-        ca = jax.jit(fn).lower(*args, **kwargs).cost_analysis()
-        if isinstance(ca, (list, tuple)):  # older jax returned [dict]
-            ca = ca[0] if ca else {}
-        flops = ca.get("flops")
-        return float(flops) if flops and flops > 0 else None
-    except Exception:
-        return None
+    and remat effects are absent, which is fine for pure model forwards.
+
+    Some backends (the axon TPU plugin) return None from a Lowered's
+    cost_analysis; flop counts of unoptimized HLO are backend-independent,
+    so fall back to lowering against the CPU backend (still no compile)."""
+    for jit_kw in ({}, {"backend": "cpu"}):
+        try:
+            ca = jax.jit(fn, **jit_kw).lower(*args, **kwargs).cost_analysis()
+            if isinstance(ca, (list, tuple)):  # older jax returned [dict]
+                ca = ca[0] if ca else {}
+            flops = ca.get("flops")
+            if flops and flops > 0:
+                return float(flops)
+        except Exception:
+            pass
+    return None
 
 
 def scan_corrected_flops(program_flops: Optional[float],
