@@ -74,7 +74,7 @@ EXTRAS = ("cfg_sampling", "edm", "edm_dpmpp")
 # per-extra hard timeouts: the CFG DDIM-150 + VAE-decode program is the one
 # whose cold full-effort compile (~10 min through the TPU tunnel) exceeded
 # the generic 420 s budget in round 3 and dropped config #4 from the record
-EXTRA_TIMEOUTS_S = {"cfg_sampling": 900.0}
+EXTRA_TIMEOUTS_S = {"cfg_sampling": 900.0, "edm_dpmpp": 900.0}
 
 
 # --------------------------------------------------------------------------

@@ -38,6 +38,30 @@ def test_trace_context_writes_profile(tmp_path):
     assert files, "no profiler output written"
 
 
+def test_training_roofline_helpers():
+    """cli/profile_training: the roofline record builder and the
+    forward-profiling path (the full config-#2 run is TPU-scale; the
+    helpers carry all the logic)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent.parent / "cli"))
+    from profile_training import _roofline, profile_fwd
+
+    # peak falls back to 197 TFLOP/s when unknown (CPU test platform):
+    # t_mxu = 1e12/197e12 = 5.08 ms >> t_hbm = 1e6/819e9 = 1.2 us
+    rec = _roofline("toy", flops=1e12, bytes_=1e6, dt=0.01, n_items=8)
+    assert rec["t_mxu_ms"] > 0 and rec["t_hbm_ms"] > 0
+    assert rec["bound"] == "mxu"
+    assert abs(rec["roofline_fraction"] - 0.5076) < 0.01
+    assert rec["arith_intensity_flops_per_byte"] == 1e6
+
+    fwd = profile_fwd("matmul", lambda a, b: a @ b,
+                      (jnp.ones((256, 256)), jnp.ones((256, 256))),
+                      n_items=4, iters=2)
+    assert fwd["t_measured_ms"] > 0 and fwd["items_per_sec"] > 0
+
+
 def test_roofline_profile_record():
     """cli/profile_sampling.profile: times a jitted program, reads XLA cost
     analysis, and computes the roofline attribution fields."""
