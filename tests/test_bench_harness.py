@@ -71,9 +71,16 @@ def test_normal_run_headline_last(tmp_path):
         (tmp_path / "headline.json").read_text())["value"] == 1.0
 
 
+# The injected per-extra timeout must cover a subprocess interpreter start
+# (~3.5 s of jax import on a loaded 1-core host) or the surviving extras /
+# the fast-compile retry get killed before they can emit — the timeout only
+# needs to be shorter than the injected hang (100000 s), not short.
+HANG_TIMEOUT_S = "8"
+
+
 def test_hanging_extra_cannot_stall_the_run(tmp_path):
     out = run_bench(tmp_path, {"BENCH_FAKE_HANG": "cfg_sampling",
-                               "BENCH_EXTRA_TIMEOUT_S": "3"})
+                               "BENCH_EXTRA_TIMEOUT_S": HANG_TIMEOUT_S})
     assert out.returncode == 0, out.stderr
     assert final_line(out)["metric"] == "fake stage1"
     assert "killed after" in out.stderr
@@ -87,7 +94,7 @@ def test_hung_cfg_sampling_retries_in_fast_compile_mode(tmp_path):
     round-3 failure mode) must land a fast-compile number instead of
     dropping config #4 from the record."""
     out = run_bench(tmp_path, {"BENCH_FAKE_HANG": "cfg_sampling",
-                               "BENCH_EXTRA_TIMEOUT_S": "3"})
+                               "BENCH_EXTRA_TIMEOUT_S": HANG_TIMEOUT_S})
     assert out.returncode == 0, out.stderr
     lines = {l["metric"]: l for l in json_lines(out)}
     assert "fake cfg_sampling" in lines
