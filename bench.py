@@ -51,13 +51,18 @@ from pathlib import Path
 REPO = Path(__file__).parent
 sys.path.insert(0, str(REPO))
 
-# persistent XLA compilation cache: first-run remote compiles of the big
-# stage-1 graphs take minutes through the TPU tunnel; cached reruns are fast
-import jax  # noqa: E402
-
 JAX_CACHE = REPO / ".jax_cache"
-jax.config.update("jax_compilation_cache_dir", str(JAX_CACHE))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+# persistent XLA compilation cache: first-run remote compiles of the big
+# stage-1 graphs take minutes through the TPU tunnel; cached reruns are fast.
+# BENCH_FAKE mode (tests/test_bench_harness.py) never touches jax — skipping
+# the import there keeps fake subprocess starts ~100 ms, so the harness
+# tests' injected timeouts can't race a loaded host's multi-second jax import
+if os.environ.get("BENCH_FAKE") != "1":
+    import jax  # noqa: E402
+
+    jax.config.update("jax_compilation_cache_dir", str(JAX_CACHE))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 BATCH = 8
 IMAGE_SIZE = 128

@@ -72,10 +72,11 @@ def test_normal_run_headline_last(tmp_path):
 
 
 # The injected per-extra timeout must cover a subprocess interpreter start
-# (~3.5 s of jax import on a loaded 1-core host) or the surviving extras /
-# the fast-compile retry get killed before they can emit — the timeout only
+# (~2.3 s bare on this host, more when loaded; BENCH_FAKE skips the jax
+# import entirely so that's the whole cost) or the surviving extras / the
+# fast-compile retry get killed before they can emit — the timeout only
 # needs to be shorter than the injected hang (100000 s), not short.
-HANG_TIMEOUT_S = "8"
+HANG_TIMEOUT_S = "12"
 
 
 def test_hanging_extra_cannot_stall_the_run(tmp_path):
