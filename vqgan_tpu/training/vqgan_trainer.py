@@ -33,6 +33,7 @@ from ..parallel import make_mesh_for_batch, replicate, shard_batch
 from .vqgan_step import (
     VQGANTrainState,
     make_gan_optimizers,
+    make_vqgan_scan_steps,
     make_vqgan_split_steps,
     make_vqgan_train_step,
     reset_codebook_moments,
@@ -51,8 +52,9 @@ class VQGANTrainer:
         use_mesh: bool = True,
         step_mode: str = "split",
         fast_compile: bool = False,
+        scan_block: int = 8,
     ):
-        assert step_mode in ("split", "fused"), step_mode
+        assert step_mode in ("split", "fused", "scan"), step_mode
         self.config = config
         cfg = config
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
@@ -119,12 +121,23 @@ class VQGANTrainer:
         # reference also dispatches no D work before then,
         # train_vqgan.py:274). "fused": one program, masked D update.
         self.step_mode = step_mode
+        self.scan_block = int(scan_block)
         if step_mode == "fused":
             self.train_step = make_vqgan_train_step(
                 vqvae_apply, disc_apply, self.opt_g, self.opt_d,
                 **step_kwargs)
         else:
             self.g_step, self.d_step = make_vqgan_split_steps(
+                vqvae_apply, disc_apply, self.opt_g, self.opt_d,
+                **step_kwargs)
+        if step_mode == "scan":
+            # "scan": one program dispatches `scan_block` full steps over a
+            # [block, B, ...] superbatch, amortizing the 1-core host's
+            # multi-ms per-program dispatch floor (training_roofline.json:
+            # 49.4% → 63.1% MFU device-only). The split steps above stay
+            # built: boundary blocks straddling the end of training and
+            # save/sample cadences fall back to per-step dispatch.
+            self.scan_gd, self.scan_g = make_vqgan_scan_steps(
                 vqvae_apply, disc_apply, self.opt_g, self.opt_d,
                 **step_kwargs)
 
@@ -209,7 +222,21 @@ class VQGANTrainer:
             log = {**log, **d_log}
         return state, log
 
+    def dispatch_block(self, state, superbatch, step: int):
+        """Dispatch `block` full training steps as ONE compiled program
+        (step_mode="scan"); `superbatch` is [block, B, H, W, C] and `step`
+        is the host-side step index of the block's first element. Returns
+        (state, stacked_logs) with a leading [block] axis on every log.
+        Step-for-step identical math to `dispatch_step` alternation
+        (tests/test_scan_step.py)."""
+        block = superbatch.shape[0]
+        if step + block <= self.config.disc_start:
+            return self.scan_g(state, superbatch)
+        return self.scan_gd(state, superbatch)
+
     def train(self, num_steps: Optional[int] = None, log_every: int = 50):
+        if self.step_mode == "scan":
+            return self._train_scan(num_steps, log_every)
         cfg = self.config
         num_steps = num_steps or cfg.train_steps
         assert self.loader is not None, "no dataset configured"
@@ -273,6 +300,112 @@ class VQGANTrainer:
         # Short runs (num_steps < save cadence) or off-cadence endings must
         # still leave a loadable checkpoint — the reference keeps
         # vqgan_latest.pt for this (train_vqgan.py:383-387).
+        if num_steps > start and num_steps % cfg.save_and_sample_every != 0:
+            self.save_and_sample(
+                num_steps // cfg.save_and_sample_every + 1, images)
+
+    def _train_scan(self, num_steps: Optional[int], log_every: int):
+        """Block-dispatched training loop (step_mode="scan").
+
+        Full `scan_block`-sized blocks run as ONE compiled program
+        (`dispatch_block`); the segment leading up to any host event —
+        log cadence, revive cadence, save/sample cadence, end of training —
+        finishes per-step via `dispatch_step`, so event timing matches the
+        per-step loop exactly and only the two block shapes ([block] and
+        per-step) ever compile. Watchdog checks stay pipelined one dispatch
+        behind and cover every step's loss via the stacked block logs.
+        """
+        cfg = self.config
+        num_steps = num_steps or cfg.train_steps
+        assert self.loader is not None, "no dataset configured"
+        block = max(1, self.scan_block)
+        it = iter(self.loader)
+        from ..data.prefetch import device_prefetch
+
+        pre = device_prefetch(
+            it, lambda b: self._put(jnp.asarray(b[0])), depth=2)
+
+        t0 = time.time()
+        start = int(jax.device_get(self.state.step))
+        t_logged = start
+        pending = None  # (end_step, stacked per-step losses) — pipelined
+
+        def next_event(s: int) -> int:
+            cadences = [log_every, cfg.save_and_sample_every]
+            if self._revive_every:
+                cadences.append(self._revive_every)
+            return min([num_steps] + [(s // c + 1) * c for c in cadences])
+
+        step = start
+        images = None  # last host batch, for save_and_sample grids
+        while step < num_steps:
+            boundary = next_event(step)
+            if boundary - step >= block:
+                devs = []
+                for _ in range(block):
+                    (images, _), img_dev = next(pre)
+                    devs.append(img_dev)
+                images_dev = devs[-1]
+                self.state, logs = self.dispatch_block(
+                    self.state, jnp.stack(devs), step)
+                n_done = block
+            else:
+                (images, _), images_dev = next(pre)
+                self.state, log1 = self.dispatch_step(
+                    self.state, images_dev, step)
+                logs = jax.tree.map(lambda x: jnp.asarray(x)[None], log1)
+                n_done = 1
+            step += n_done
+
+            if self._revive_every:
+                self._usage_accum = (
+                    self._usage_accum + logs["usage_counts"].sum(axis=0))
+                if step % self._revive_every == 0:
+                    self.state, n_revived = self._revive_step(
+                        self.state, images_dev, self._usage_accum,
+                        jax.random.fold_in(
+                            jax.random.PRNGKey(cfg.seed ^ 0x5EED), step - 1))
+                    self._usage_accum = jnp.zeros_like(self._usage_accum)
+                    print(f"  [revive] step {step}: re-anchored "
+                          f"{int(n_revived)} dead codes")
+
+            # per-step health coverage, fetched one dispatch behind
+            if pending is not None:
+                end_prev, losses_prev = pending
+                arr = np.asarray(jax.device_get(losses_prev)).reshape(-1)
+                for i, lv in enumerate(arr):
+                    s_i = end_prev - len(arr) + 1 + i
+                    for w in self.watchdog.check(s_i, float(lv)):
+                        print(f"  [watchdog] {w}")
+            pending = (step, logs["loss_total"])
+
+            if step % log_every == 0:
+                last = jax.tree.map(lambda x: x[-1], logs)
+                log_host = {k: float(v) for k, v in
+                            jax.device_get(last).items()
+                            if np.ndim(v) == 0}
+                ips = (step - t_logged) * cfg.batch_size / (time.time() - t0)
+                t0, t_logged = time.time(), step
+                self.metrics.log(step, {**log_host, "images_per_sec": ips})
+                print(
+                    f"step {step}/{num_steps} "
+                    f"g={log_host.get('total_loss', 0):.4f} "
+                    f"d={log_host.get('d_loss', 0):.4f} "
+                    f"vq={log_host.get('vq_loss', 0):.4f} "
+                    f"usage={log_host.get('codebook_usage_ratio', 0):.2f} "
+                    f"({ips:.1f} img/s)")
+
+            if step % cfg.save_and_sample_every == 0:
+                self.save_and_sample(
+                    step // cfg.save_and_sample_every, images)
+
+        if pending is not None:
+            end_prev, losses_prev = pending
+            arr = np.asarray(jax.device_get(losses_prev)).reshape(-1)
+            for i, lv in enumerate(arr):
+                for w in self.watchdog.check(
+                        end_prev - len(arr) + 1 + i, float(lv)):
+                    print(f"  [watchdog] {w}")
         if num_steps > start and num_steps % cfg.save_and_sample_every != 0:
             self.save_and_sample(
                 num_steps // cfg.save_and_sample_every + 1, images)
