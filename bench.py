@@ -8,6 +8,8 @@ Headline (BASELINE config #2): stage-1 VQ-GAN training images/sec/chip —
 Also measured (unless BENCH_SKIP_EXTRAS=1):
   config #4 — CFG latent-diffusion DDIM-150 sampling + KL-VAE decode @256px
   config #5 — EDM stochastic-Heun-32 sampling with the Karras MP U-Net @64px
+  config #5b — EDM DPM++(2M) batch-128 throughput mode
+  stage1_scan — the scan-over-steps trainer dispatch (dispatch_block)
 
 Each metric prints one JSON line
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
@@ -19,23 +21,31 @@ line prints LAST (the driver parses the final JSON line).
 vs_baseline = TPU images/sec divided by the same step measured on one CPU
 host (the driver's "≥10× CPU-baseline" target), cached in .bench_cache.json.
 
-Capture hardening (round 2 lost its official number to a flaky extra +
-driver timeout — rc=124, parsed=null):
-  1. the TPU backend is verified up front in a bounded-retry subprocess;
-     on persistent failure the last-known-good headline is emitted instead
-     of crashing;
-  2. the headline is measured FIRST and printed immediately, then cached
-     (.bench_cache.json + committed results/bench_headline.json);
-  3. each extra runs in its OWN subprocess under a hard timeout
-     (BENCH_EXTRA_TIMEOUT_S, default 420 s) — a hung or crashed extra
-     cannot take the run down — and the headline line is RE-printed after
-     every extra so the final JSON line is the headline at any kill point;
-  4. a wall-clock alarm (BENCH_BUDGET_S, default 3000 s) prints the
-     best-known headline and exits 0 if anything runs long;
-  5. a cold .jax_cache with no cached headline degrades the headline to
-     fast-compile (exec_time_optimization_effort=-1, marked
-     "fast_compile": true in the JSON) so SOME number always lands within
-     budget.
+Capture hardening. Round 2 lost its official number to a flaky extra +
+driver timeout; round 4 lost it again because nothing printed before the
+first measurement completed and the internal rescue budget (3000 s) exceeded
+the driver's observed ~1800 s window (both: rc=124, parsed=null). The rules:
+  1. EMIT FIRST, MEASURE SECOND: the committed last-known-good headline
+     (results/bench_headline.json) is printed as the FIRST stdout line,
+     tagged "cached": true — ANY kill point from process start onward
+     leaves a parseable final JSON line;
+  2. the wall-clock budget (BENCH_BUDGET_S) defaults to 1500 s, inside the
+     driver's window; an alarm prints the best-known headline and exits 0;
+  3. the TPU backend is verified up front in a bounded-retry subprocess
+     (2 × 90 s); on persistent failure the cached headline is emitted;
+  4. the headline itself runs in its OWN subprocess under a hard timeout —
+     a hung remote compile or a stalled TPU tunnel cannot hold the
+     scoreboard empty;
+  5. cold-vs-warm is decided per-program (a fingerprint of the vqgan_tpu
+     sources + bench shapes + jax version, not .jax_cache dir-non-empty):
+     cold programs land a fast-compile number FIRST
+     (exec_time_optimization_effort=-1, marked "fast_compile": true), then
+     upgrade to full effort only if the remaining budget allows;
+  6. each extra runs isolated + bounded, is SKIPPED (with a logged reason)
+     when it cannot fit the remaining wall clock, and the headline is
+     RE-printed after every extra so the final JSON line is the headline;
+  7. one timestamped stderr line per phase ([bench +123.4s ...]) so the
+     next rc=124, if any, is diagnosable from the driver's tail.
 Fault-injection coverage: tests/test_bench_harness.py (BENCH_FAKE knobs).
 """
 
@@ -52,6 +62,7 @@ REPO = Path(__file__).parent
 sys.path.insert(0, str(REPO))
 
 JAX_CACHE = REPO / ".jax_cache"
+T_START = time.monotonic()
 
 # persistent XLA compilation cache: first-run remote compiles of the big
 # stage-1 graphs take minutes through the TPU tunnel; cached reruns are fast.
@@ -75,11 +86,19 @@ CACHE = Path(os.environ.get("BENCH_CACHE", REPO / ".bench_cache.json"))
 HEADLINE_FALLBACK = Path(os.environ.get(
     "BENCH_HEADLINE_FALLBACK", REPO / "results" / "bench_headline.json"))
 
-EXTRAS = ("cfg_sampling", "edm", "edm_dpmpp")
+EXTRAS = ("cfg_sampling", "edm", "edm_dpmpp", "stage1_scan")
 # per-extra hard timeouts: the CFG DDIM-150 + VAE-decode program is the one
 # whose cold full-effort compile (~10 min through the TPU tunnel) exceeded
 # the generic 420 s budget in round 3 and dropped config #4 from the record
-EXTRA_TIMEOUTS_S = {"cfg_sampling": 900.0, "edm_dpmpp": 900.0}
+EXTRA_TIMEOUTS_S = {"cfg_sampling": 900.0, "edm_dpmpp": 900.0,
+                    "stage1_scan": 600.0}
+
+
+def _phase(msg: str) -> None:
+    """One timestamped stderr line per phase, so a killed run is diagnosable
+    from the driver's captured tail (BENCH_r04 died with an empty tail)."""
+    print(f"[bench +{time.monotonic() - T_START:6.1f}s "
+          f"{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
 
 
 # --------------------------------------------------------------------------
@@ -113,6 +132,39 @@ def cached_headline() -> dict | None:
         return h if isinstance(h, dict) else None
     except Exception:
         return None
+
+
+def _write_headline_fallback(headline: dict) -> None:
+    """Refresh the committed last-known-good copy (pre-emitted first on
+    every future run)."""
+    try:
+        HEADLINE_FALLBACK.parent.mkdir(parents=True, exist_ok=True)
+        stamped = {**headline, "measured": (
+            f"{time.strftime('%Y-%m-%d')}, TPU v5e-1 (BASELINE.md); "
+            "refreshed automatically on every successful bench.py run")}
+        HEADLINE_FALLBACK.write_text(json.dumps(stamped, indent=1) + "\n")
+    except Exception as e:
+        print(f"headline fallback write failed: {e}", file=sys.stderr)
+
+
+def _stage1_fingerprint() -> str:
+    """Fingerprint of everything that can change the compiled stage-1
+    programs: the whole vqgan_tpu package, the bench shape constants, and
+    the jax version. Over-invalidation is safe (it just routes through the
+    fast-compile-first path); under-invalidation would send a cold program
+    into the minutes-to-hour full-effort remote compile (docs/DESIGN.md §1)
+    with nothing on the scoreboard — which is why warm/cold is NOT decided
+    by `.jax_cache` being non-empty (a stale-but-nonempty cache proves
+    nothing about THESE programs)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for p in sorted((REPO / "vqgan_tpu").rglob("*.py")):
+        h.update(p.read_bytes())
+    h.update(f"{BATCH}:{IMAGE_SIZE}:{CODEBOOK}:{EMBED_DIM}".encode())
+    if os.environ.get("BENCH_FAKE") != "1":
+        h.update(jax.__version__.encode())
+    return h.hexdigest()[:16]
 
 
 def _fake(name: str) -> dict | None:
@@ -153,7 +205,13 @@ def sampling_cpu_anchor(key: str) -> float | None:
 
 def build_trainer(fast_compile: bool = False, step_mode: str = "split",
                   scan_block: int = 8):
-    """The production stage-1 trainer at BASELINE config #2 sizes."""
+    """The production stage-1 trainer at BASELINE config #2 sizes.
+
+    results_folder points at a fresh temp dir so bench runs leave no
+    side-effect artifacts in the tree (the MetricsLogger opens
+    <results_folder>/vqgan.jsonl at construction)."""
+    import tempfile
+
     from vqgan_tpu.configs import VQGANConfig
     from vqgan_tpu.training.vqgan_trainer import VQGANTrainer
 
@@ -163,6 +221,7 @@ def build_trainer(fast_compile: bool = False, step_mode: str = "split",
         # validation couples codebook size to dataset size; the bench
         # codebook (8192) needs the cap raised (31*300 > 8192)
         images_per_user_train=300,
+        results_folder=tempfile.mkdtemp(prefix="bench_vqgan_"),
     )
     return VQGANTrainer(cfg, use_mesh=False, fast_compile=fast_compile,
                         step_mode=step_mode, scan_block=scan_block)
@@ -230,6 +289,19 @@ def measure_scan(block: int = 8, timed_blocks: int = 4, warmup_blocks: int = 2,
 
     trainer = build_trainer(fast_compile=fast_compile, step_mode="scan",
                             scan_block=block)
+    # FLOPs BEFORE the first dispatch: dispatch_block donates its state
+    # argument, and every replace()-derived state below aliases the same
+    # param/opt buffers — after the first dispatch, trainer.state may only
+    # be used abstractly (shapes/dtypes), never executed on.
+    flops = None
+    images = jax.random.uniform(
+        jax.random.PRNGKey(3), (BATCH, IMAGE_SIZE, IMAGE_SIZE, 3))
+    if with_flops:
+        # per-step program cost from the split steps (same math per step;
+        # XLA's cost model counts a scan body once, so measuring the scan
+        # program directly would undercount by ~block x)
+        flops = _split_step_flops(trainer, trainer.state, images)
+
     disc_start = trainer.config.disc_start
     state = trainer.state.replace(step=jnp.asarray(disc_start))
     superbatch = jax.random.uniform(
@@ -247,15 +319,6 @@ def measure_scan(block: int = 8, timed_blocks: int = 4, warmup_blocks: int = 2,
         step += block
     jax.block_until_ready(logs["loss_total"])
     dt = (time.perf_counter() - t0) / (timed_blocks * block)
-
-    flops = None
-    if with_flops:
-        # per-step program cost from the split steps (same math per step;
-        # XLA's cost model counts a scan body once, so measuring the scan
-        # program directly would undercount by ~block x)
-        images = jax.random.uniform(
-            jax.random.PRNGKey(3), (BATCH, IMAGE_SIZE, IMAGE_SIZE, 3))
-        flops = _split_step_flops(trainer, trainer.state, images)
     return BATCH / dt, dt, flops
 
 
@@ -285,6 +348,8 @@ def bench_stage1_scan(block: int = 8) -> dict:
 def bench_stage1(fast_compile: bool = False) -> dict:
     fake = _fake("stage1")
     if fake is not None:
+        if fast_compile:
+            fake = {**fake, "fast_compile": True}
         return fake
     from vqgan_tpu.utils.flops import flops_report
 
@@ -469,8 +534,9 @@ def bench_edm(batch: int = 16, image_size: int = 64, dim: int = 64,
     body_flops = (fwd_flops * (2 if sampler == "heun" else 1)
                   if fwd_flops else None)
     flops = scan_corrected_flops(flops, body_flops, num_sample_steps) or flops
-    # the committed CPU anchor is Heun batch-1; only Heun compares to it
-    cpu = sampling_cpu_anchor("cfg5_sps") if sampler == "heun" else None
+    # batch-1 CPU anchors per sampler (cli/measure_cpu_sampling.py)
+    cpu = sampling_cpu_anchor(
+        "cfg5_sps" if sampler == "heun" else "cfg5_dpmpp_sps")
     name = ("Heun" if sampler == "heun"
             else f"DPM++(2M) b{b} throughput-mode")
     return {
@@ -538,13 +604,14 @@ def check_backend(retries: int | None = None,
                   timeout_s: float | None = None) -> bool:
     """Verify the TPU backend initializes, in a subprocess so a hung init
     can't stall the run, with bounded retries for transient UNAVAILABLE
-    errors (the round-2 failure mode)."""
+    errors (the round-2 failure mode). Worst case 2 x 90 s + 5 s sleep —
+    sized so even a dead tunnel leaves ~20 min of the 1500 s budget."""
     if os.environ.get("BENCH_FAKE") == "1":
         return os.environ.get("BENCH_FAKE_FAIL") != "backend"
     if retries is None:
-        retries = int(os.environ.get("BENCH_BACKEND_RETRIES", "3"))
+        retries = int(os.environ.get("BENCH_BACKEND_RETRIES", "2"))
     if timeout_s is None:
-        timeout_s = float(os.environ.get("BENCH_BACKEND_TIMEOUT_S", "240"))
+        timeout_s = float(os.environ.get("BENCH_BACKEND_TIMEOUT_S", "90"))
     code = "import jax; print('NDEV=%d' % len(jax.devices()))"
     for attempt in range(retries):
         try:
@@ -567,35 +634,129 @@ def _emit(metric: dict) -> None:
     print(json.dumps(metric), flush=True)
 
 
-def _run_extra(name: str, timeout_s: float,
-               env: dict | None = None) -> dict | None:
-    """One extra in its own interpreter under a hard timeout; returns its
-    metric dict or None."""
+# the currently-running measurement subprocess, so the budget alarm can
+# reap it instead of leaving a hung compile orphaned past our exit
+_CHILD: dict = {"proc": None}
+
+
+def _run_metric(name: str, timeout_s: float,
+                env: dict | None = None) -> dict | None:
+    """One metric in its own interpreter under a hard timeout; returns its
+    metric dict or None. Isolation is the point: a hung remote compile, a
+    stalled TPU tunnel, or an OOM in any single measurement cannot take the
+    capture run down with it."""
+    proc = subprocess.Popen(
+        [sys.executable, str(REPO / "bench.py"), "--only", name],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        env={**os.environ, **(env or {})})
+    _CHILD["proc"] = proc
     try:
-        out = subprocess.run(
-            [sys.executable, str(REPO / "bench.py"), "--only", name],
-            capture_output=True, text=True, timeout=timeout_s,
-            env={**os.environ, **(env or {})})
+        stdout, stderr = proc.communicate(timeout=timeout_s)
     except subprocess.TimeoutExpired:
-        print(f"extra bench {name}: killed after {timeout_s:.0f}s",
+        proc.kill()
+        proc.communicate()
+        print(f"bench {name}: killed after {timeout_s:.0f}s",
               file=sys.stderr)
         return None
-    for line in reversed(out.stdout.splitlines()):
+    finally:
+        _CHILD["proc"] = None
+    for line in reversed(stdout.splitlines()):
         if line.startswith("{"):
             try:
                 return json.loads(line)
             except Exception:
                 break
-    print(f"extra bench {name} failed (rc={out.returncode}): "
-          f"{out.stderr[-500:]}", file=sys.stderr)
+    print(f"bench {name} failed (rc={proc.returncode}): "
+          f"{stderr[-500:]}", file=sys.stderr)
     return None
 
 
+def measure_headline(best: dict, remaining, reserve: float) -> dict | None:
+    """Land the stage-1 headline, bounded and budget-aware.
+
+    Warm programs (fingerprint matches the last full-effort measurement AND
+    .jax_cache is non-empty) go straight to a full-effort measurement. Cold
+    programs land a fast-compile number FIRST — emitted immediately, so a
+    fresh clone is on the scoreboard within minutes — then upgrade to full
+    effort only if enough budget remains (the measured fast/full exec gap
+    is a few %, BASELINE.md)."""
+    fp = _stage1_fingerprint()
+    if os.environ.get("BENCH_FAKE") == "1":
+        warm = os.environ.get("BENCH_FAKE_COLD") != "1"
+    else:
+        warm = (_read_cache().get("stage1_fingerprint") == fp
+                and JAX_CACHE.exists() and any(JAX_CACHE.iterdir()))
+    # below this many seconds a measurement attempt is pointless (tunable
+    # only so the harness tests can exercise the paths at second scale)
+    min_measure = float(os.environ.get("BENCH_MIN_MEASURE_S", "30"))
+
+    headline = None
+    if not warm:
+        t = min(remaining() - reserve,
+                float(os.environ.get("BENCH_FAST_HEADLINE_TIMEOUT_S", "600")))
+        if t > min_measure:
+            _phase(f"cold stage-1 programs: fast-compile headline first "
+                   f"(timeout {t:.0f}s)")
+            headline = _run_metric("stage1", t,
+                                   env={"BENCH_FAST_COMPILE": "1"})
+            if headline is not None:
+                _phase(f"fast-compile headline ok: {headline.get('value')} "
+                       f"{headline.get('unit')}")
+                best["headline"] = headline
+                _update_cache(headline=headline)
+                if not HEADLINE_FALLBACK.exists():
+                    _write_headline_fallback(headline)
+                _emit(headline)
+
+    # full-effort measurement: always when warm; after a cold fast-compile
+    # number only when the remaining budget clearly fits another compile
+    full_min = float(os.environ.get("BENCH_FULL_EFFORT_MIN_S", "600"))
+    rem = remaining() - reserve
+    want_full = warm or headline is None or rem >= full_min
+    if want_full and rem > min_measure:
+        # an explicit env timeout is absolute (operator override — also how
+        # the tests pin the alarm path); the default is budget-bounded
+        env_ht = os.environ.get("BENCH_HEADLINE_TIMEOUT_S")
+        t = float(env_ht) if env_ht else min(rem, 900.0)
+        _phase(f"full-effort headline start (timeout {t:.0f}s)")
+        full = _run_metric("stage1", t, env={"BENCH_FAST_COMPILE": "0"})
+        if full is not None:
+            _phase(f"full-effort headline ok: {full.get('value')} "
+                   f"{full.get('unit')}")
+            best["headline"] = full
+            _update_cache(headline=full, stage1_fingerprint=fp)
+            _write_headline_fallback(full)
+            return full
+        _phase("full-effort headline failed or timed out")
+        if headline is None:
+            # warm misdetection or a degraded tunnel: fast-compile rescue
+            rem = remaining() - reserve
+            if rem > min_measure:
+                _phase(f"fast-compile headline rescue (timeout "
+                       f"{min(rem, 600):.0f}s)")
+                headline = _run_metric("stage1", min(rem, 600.0),
+                                       env={"BENCH_FAST_COMPILE": "1"})
+                if headline is not None:
+                    best["headline"] = headline
+                    _update_cache(headline=headline)
+    return headline
+
+
 def main():
-    budget = float(os.environ.get("BENCH_BUDGET_S", "3000"))
+    budget = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+    reserve = float(os.environ.get("BENCH_RESERVE_S", "60"))
     best: dict = {"headline": None}
 
+    def remaining() -> float:
+        return budget - (time.monotonic() - T_START)
+
     def on_alarm(signum, frame):
+        proc = _CHILD.get("proc")
+        if proc is not None:  # reap the in-flight measurement subprocess
+            try:
+                proc.kill()
+            except Exception:
+                pass
         h = best["headline"] or cached_headline()
         if h:
             _emit({**h, "note": f"wall-clock budget {budget:.0f}s expired; "
@@ -607,47 +768,48 @@ def main():
 
     signal.signal(signal.SIGALRM, on_alarm)
     signal.alarm(max(1, int(budget)))
+    _phase(f"start (budget {budget:.0f}s, reserve {reserve:.0f}s)")
+
+    # EMIT FIRST: the last-known-good headline is the FIRST stdout line —
+    # any kill point from here on leaves a parseable final JSON line
+    # (BENCH_r04 recorded nothing because the first emit waited on the
+    # first measurement).
+    pre = cached_headline()
+    if pre is not None:
+        pre = {**pre, "cached": True,
+               "note": "pre-emit of last-known-good headline; fresh "
+                       "measurement follows"}
+        best["headline"] = pre
+        _emit(pre)
+        _phase("pre-emit done")
+    else:
+        _phase("no cached headline to pre-emit")
 
     if not check_backend():
+        _phase("backend check FAILED")
         h = cached_headline()
         if h is None:
             sys.exit("TPU backend init failed and no cached headline exists")
         _emit({**h, "cached": True,
                "note": "TPU backend init failed; last-known-good headline"})
         return
+    _phase("backend ok")
 
-    # headline FIRST. Cold compilation cache with no cached fallback is the
-    # only case where a full-effort compile could leave the round with NO
-    # number — degrade to fast-compile there (a worse-but-real measurement
-    # beats an empty record).
-    cold = not JAX_CACHE.exists() or not any(JAX_CACHE.iterdir())
-    fast = (os.environ.get("BENCH_FAST_COMPILE") == "1"
-            or (cold and cached_headline() is None))
-    try:
-        headline = bench_stage1(fast_compile=fast)
-        best["headline"] = headline
-        _update_cache(headline=headline)
-        try:
-            HEADLINE_FALLBACK.parent.mkdir(parents=True, exist_ok=True)
-            stamped = {**headline, "measured": (
-                f"{time.strftime('%Y-%m-%d')}, TPU v5e-1 (BASELINE.md); "
-                "refreshed automatically on every successful bench.py run")}
-            HEADLINE_FALLBACK.write_text(json.dumps(stamped, indent=1) + "\n")
-        except Exception as e:
-            print(f"headline fallback write failed: {e}", file=sys.stderr)
-    except Exception as e:
-        print(f"headline measurement failed: {e}", file=sys.stderr)
+    headline = measure_headline(best, remaining, reserve)
+    if headline is None:
         headline = cached_headline()
         if headline is None:
-            raise
+            sys.exit("headline measurement failed and no cached headline "
+                     "exists")
         headline = {**headline, "cached": True,
                     "note": "headline measurement failed; last-known-good"}
         best["headline"] = headline
     _emit(headline)
 
-    # extras: informative lines, each isolated + bounded; the headline is
-    # re-printed after each so the FINAL JSON line is the headline even if
-    # the driver kills this process mid-extras
+    # extras: informative lines, each isolated + bounded + budget-aware
+    # (skipped with a logged reason when they cannot fit the remaining wall
+    # clock); the headline is re-printed after each so the FINAL JSON line
+    # is the headline even if the driver kills this process mid-extras
     if os.environ.get("BENCH_SKIP_EXTRAS", "0") != "1":
         env_timeout = os.environ.get("BENCH_EXTRA_TIMEOUT_S")
         extra_timeout = float(env_timeout) if env_timeout else 420.0
@@ -655,24 +817,41 @@ def main():
             # per-extra defaults apply only when no explicit env override
             budget_s = (extra_timeout if env_timeout
                         else EXTRA_TIMEOUTS_S.get(name, extra_timeout))
-            metric = _run_extra(name, budget_s)
+            rem = remaining() - reserve
+            if rem < min(budget_s, 60.0):
+                _phase(f"skip extra {name}: {rem:.0f}s left of the "
+                       f"wall-clock budget")
+                continue
+            budget_s = min(budget_s, rem)
+            _phase(f"extra {name} start (timeout {budget_s:.0f}s)")
+            metric = _run_metric(name, budget_s)
             if metric is None and name == "cfg_sampling":
                 # full-effort cold compile overran: retry once in
                 # fast-compile mode so config #4 always lands a number
-                metric = _run_extra(name, extra_timeout,
-                                    env={"BENCH_FAST_SAMPLER": "1"})
+                rem = remaining() - reserve
+                if rem >= 60.0:
+                    _phase("extra cfg_sampling retry in fast-compile mode")
+                    metric = _run_metric(name, min(extra_timeout, rem),
+                                         env={"BENCH_FAST_SAMPLER": "1"})
             if metric is not None:
+                _phase(f"extra {name} ok: {metric.get('value')} "
+                       f"{metric.get('unit')}")
                 _emit(metric)
                 _emit(headline)
     signal.alarm(0)
+    _phase("done")
 
 
 if __name__ == "__main__":
     if "--only" in sys.argv:
         name = sys.argv[sys.argv.index("--only") + 1]
-        fn = {"stage1": bench_stage1, "stage1_scan": bench_stage1_scan,
-              "cfg_sampling": bench_cfg_sampling,
-              "edm": bench_edm, "edm_dpmpp": bench_edm_dpmpp}[name]
-        _emit(fn())
+        if name == "stage1":
+            _emit(bench_stage1(
+                fast_compile=os.environ.get("BENCH_FAST_COMPILE") == "1"))
+        else:
+            fn = {"stage1_scan": bench_stage1_scan,
+                  "cfg_sampling": bench_cfg_sampling,
+                  "edm": bench_edm, "edm_dpmpp": bench_edm_dpmpp}[name]
+            _emit(fn())
     else:
         main()

@@ -67,7 +67,7 @@ def cfg_sampling_sps(batch: int = 1, steps: int = 150) -> float:
 
 
 def edm_sps(batch: int = 1, image_size: int = 64, dim: int = 64,
-            num_sample_steps: int = 32) -> float:
+            num_sample_steps: int = 32, sampler: str = "heun") -> float:
     import jax.numpy as jnp
 
     from vqgan_tpu.diffusion import ElucidatedDiffusion
@@ -89,28 +89,58 @@ def edm_sps(batch: int = 1, image_size: int = 64, dim: int = 64,
 
     ed = ElucidatedDiffusion(model_apply, image_size=image_size, channels=3,
                              num_sample_steps=num_sample_steps)
-    heun = jax.jit(lambda p, k: ed.sample(p, k, batch_size=b))
-    jax.block_until_ready(heun(params, jax.random.PRNGKey(1)))
+    sample_fn = ed.sample if sampler == "heun" else ed.sample_using_dpmpp
+    run = jax.jit(lambda p, k: sample_fn(p, k, batch_size=b))
+    jax.block_until_ready(run(params, jax.random.PRNGKey(1)))
     t0 = time.perf_counter()
-    jax.block_until_ready(heun(params, jax.random.PRNGKey(2)))
+    jax.block_until_ready(run(params, jax.random.PRNGKey(2)))
     return b / (time.perf_counter() - t0)
 
 
+# anchor key -> measurement (all batch-1, single CPU core); bench.py's
+# sampling_cpu_anchor() reads these keys to fill vs_baseline for the
+# config #4 / #5 / #5b metric lines
+MEASUREMENTS = {
+    "cfg4_sps": lambda: cfg_sampling_sps(),
+    "cfg5_sps": lambda: edm_sps(sampler="heun"),
+    # 5b (DPM++(2M)-32, reference elucidated_diffusion.py:202-237): CPU
+    # anchor for bench.py's throughput-mode serving point
+    "cfg5_dpmpp_sps": lambda: edm_sps(sampler="dpmpp"),
+}
+
+
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", nargs="*", default=None,
+                    choices=sorted(MEASUREMENTS),
+                    help="measure just these keys, merging into the "
+                         "existing artifact (default: any missing keys; "
+                         "use --force for all)")
+    ap.add_argument("--force", action="store_true",
+                    help="re-measure even keys already present")
+    args = ap.parse_args()
+
     out = REPO / "results" / "cpu_sampling_baseline.json"
-    cfg4 = cfg_sampling_sps()
-    print(f"config #4 CPU: {cfg4:.5f} samples/sec", flush=True)
-    cfg5 = edm_sps()
-    print(f"config #5 CPU: {cfg5:.5f} samples/sec", flush=True)
-    out.write_text(json.dumps({
-        "cfg4_sps": round(cfg4, 6),
-        "cfg5_sps": round(cfg5, 6),
+    data = json.loads(out.read_text()) if out.exists() else {}
+    selected = args.only or list(MEASUREMENTS)
+    for key in selected:
+        if key in data and not args.force and not args.only:
+            print(f"{key}: {data[key]} (kept; --force to re-measure)",
+                  flush=True)
+            continue
+        sps = MEASUREMENTS[key]()
+        print(f"{key}: {sps:.5f} samples/sec", flush=True)
+        data[key] = round(sps, 6)
+    data.update({
         "what": "single-CPU-core samples/sec of the identical jitted "
                 "sampling pipelines bench.py times on TPU (batch 1 — the "
                 "CPU-friendliest batching, so TPU/CPU ratios are floors)",
         "remeasure": "python cli/measure_cpu_sampling.py (~10 min on this "
                      "1-core host)",
-    }, indent=2) + "\n")
+    })
+    out.write_text(json.dumps(data, indent=2) + "\n")
     print(f"wrote {out}", flush=True)
 
 
