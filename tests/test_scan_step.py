@@ -178,6 +178,67 @@ def test_scan_g_skips_disc_and_matches_scan_gd_masked(setup):
     assert logs_g["loss_total"].shape == (3,)
 
 
+def _tiny_trainer_cfg(tmp_path, **overrides):
+    from vqgan_tpu.configs import VQGANConfig
+
+    base = dict(
+        image_size=32, ch=16, ch_mult=(1, 2), num_res_blocks=1,
+        z_channels=16, num_embeddings=8, embedding_dim=16,
+        batch_size=2, disc_start=2, train_steps=7,
+        save_and_sample_every=5, results_folder=str(tmp_path),
+        images_per_user_train=1,
+    )
+    base.update(overrides)
+    return VQGANConfig(**base)
+
+
+def test_trainer_scan_mode_mesh_superbatch_sharding(tmp_path):
+    """step_mode='scan' under the production mesh: the stacked superbatch
+    gets an EXPLICIT (None, 'data') placement — batch axis sharded, block
+    axis replicated — instead of relying on implicit GSPMD propagation for
+    the new leading axis (a silently replicated superbatch would cost
+    block× the HBM and transfer), and the block dispatch runs finite."""
+    from vqgan_tpu.training.vqgan_trainer import VQGANTrainer
+
+    cfg = _tiny_trainer_cfg(tmp_path, batch_size=8, disc_start=0)
+    trainer = VQGANTrainer(cfg, use_mesh=True, step_mode="scan",
+                           scan_block=2)
+    assert trainer.mesh is not None
+    n_data = trainer.mesh.shape["data"]
+    assert n_data > 1, "test needs the multi-device CPU mesh from conftest"
+
+    block = 2
+    superbatch = trainer._put_super(jnp.asarray(
+        np.random.RandomState(0).rand(block, 8, 32, 32, 3), jnp.float32))
+    assert tuple(superbatch.sharding.spec)[:2] == (None, "data")
+    # sharded, not replicated: each device holds 1/n_data of the bytes
+    shard = superbatch.addressable_shards[0].data
+    assert shard.nbytes * n_data == superbatch.nbytes
+
+    state, logs = trainer.dispatch_block(trainer.state, superbatch, 0)
+    assert logs["loss_total"].shape == (block,)
+    assert bool(jnp.isfinite(logs["loss_total"]).all())
+    assert int(jax.device_get(state.step)) == block
+
+
+def test_drain_scan_losses_nonfinite_detection(tmp_path):
+    """The scan loop's watchdog drain flags non-finite blocks (which drops
+    the one-dispatch pipelining) and still enforces the 3-strike
+    TrainingDiverged abort across blocks."""
+    from vqgan_tpu.training.vqgan_trainer import VQGANTrainer
+    from vqgan_tpu.training.watchdog import TrainingDiverged
+
+    trainer = VQGANTrainer(_tiny_trainer_cfg(tmp_path), use_mesh=False,
+                           step_mode="scan", scan_block=2)
+    assert trainer._drain_scan_losses((2, jnp.asarray([1.0, 2.0]))) is False
+    nan = float("nan")
+    # strikes are CONSECUTIVE (a finite loss resets them); the 3rd in a row
+    # aborts even when the run spans block boundaries
+    assert trainer._drain_scan_losses((4, jnp.asarray([1.0, nan]))) is True
+    with pytest.raises(TrainingDiverged):
+        trainer._drain_scan_losses((6, jnp.asarray([nan, nan])))
+
+
 def test_trainer_scan_mode_train_loop(tmp_path, setup):
     """End-to-end: VQGANTrainer(step_mode='scan') trains over block +
     per-step boundary segments and leaves a loadable checkpoint."""

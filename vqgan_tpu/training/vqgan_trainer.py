@@ -210,6 +210,19 @@ class VQGANTrainer:
             return shard_batch(batch, self.mesh)
         return batch
 
+    def _put_super(self, superbatch):
+        """Explicit [block, B, ...] placement: batch axis (1) sharded over
+        'data', block axis replicated. Stacking `block` batch-sharded arrays
+        must not rely on implicit GSPMD propagation for the new leading
+        axis — a silently replicated superbatch would cost block× the HBM
+        and transfer (tests/test_scan_step.py pins the resulting spec)."""
+        if self.mesh is None:
+            return superbatch
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(
+            superbatch, NamedSharding(self.mesh, P(None, "data")))
+
     def dispatch_step(self, state, images, step: int):
         """Dispatch one full training step (G update, plus D update when
         `step >= disc_start`). This is the exact code path `bench.py` times —
@@ -313,7 +326,12 @@ class VQGANTrainer:
         finishes per-step via `dispatch_step`, so event timing matches the
         per-step loop exactly and only the two block shapes ([block] and
         per-step) ever compile. Watchdog checks stay pipelined one dispatch
-        behind and cover every step's loss via the stacked block logs.
+        behind and cover every step's loss via the stacked block logs:
+        detection lags up to 2·block steps in the healthy steady state
+        (vs ~2 steps in the per-step loop), but the first non-finite loss
+        drops the pipelining — the just-dispatched block is drained
+        immediately — so the 3-strike TrainingDiverged abort fires within
+        ~block steps of the first NaN.
         """
         cfg = self.config
         num_steps = num_steps or cfg.train_steps
@@ -347,7 +365,7 @@ class VQGANTrainer:
                     devs.append(img_dev)
                 images_dev = devs[-1]
                 self.state, logs = self.dispatch_block(
-                    self.state, jnp.stack(devs), step)
+                    self.state, self._put_super(jnp.stack(devs)), step)
                 n_done = block
             else:
                 (images, _), images_dev = next(pre)
@@ -369,15 +387,15 @@ class VQGANTrainer:
                     print(f"  [revive] step {step}: re-anchored "
                           f"{int(n_revived)} dead codes")
 
-            # per-step health coverage, fetched one dispatch behind
-            if pending is not None:
-                end_prev, losses_prev = pending
-                arr = np.asarray(jax.device_get(losses_prev)).reshape(-1)
-                for i, lv in enumerate(arr):
-                    s_i = end_prev - len(arr) + 1 + i
-                    for w in self.watchdog.check(s_i, float(lv)):
-                        print(f"  [watchdog] {w}")
-            pending = (step, logs["loss_total"])
+            # per-step health coverage, fetched one dispatch behind; a
+            # non-finite loss in the drained block drops the pipelining and
+            # drains the just-dispatched block too (one forced sync), so
+            # divergence aborts at most ~block steps after the first NaN
+            cur = (step, logs["loss_total"])
+            if pending is not None and self._drain_scan_losses(pending):
+                self._drain_scan_losses(cur)
+                cur = None
+            pending = cur
 
             if step % log_every == 0:
                 last = jax.tree.map(lambda x: x[-1], logs)
@@ -400,15 +418,22 @@ class VQGANTrainer:
                     step // cfg.save_and_sample_every, images)
 
         if pending is not None:
-            end_prev, losses_prev = pending
-            arr = np.asarray(jax.device_get(losses_prev)).reshape(-1)
-            for i, lv in enumerate(arr):
-                for w in self.watchdog.check(
-                        end_prev - len(arr) + 1 + i, float(lv)):
-                    print(f"  [watchdog] {w}")
+            self._drain_scan_losses(pending)
         if num_steps > start and num_steps % cfg.save_and_sample_every != 0:
             self.save_and_sample(
                 num_steps // cfg.save_and_sample_every + 1, images)
+
+    def _drain_scan_losses(self, pending) -> bool:
+        """Fetch one dispatch's stacked per-step losses and run the watchdog
+        over each (raises TrainingDiverged on the 3rd non-finite strike);
+        returns True if any loss in the block was non-finite."""
+        end_step, losses = pending
+        arr = np.asarray(jax.device_get(losses)).reshape(-1)
+        for i, lv in enumerate(arr):
+            for w in self.watchdog.check(end_step - len(arr) + 1 + i,
+                                         float(lv)):
+                print(f"  [watchdog] {w}")
+        return not bool(np.isfinite(arr).all())
 
     # ------------------------------------------------------------------
 
