@@ -73,7 +73,12 @@ if os.environ.get("BENCH_FAKE") != "1":
     import jax  # noqa: E402
 
     jax.config.update("jax_compilation_cache_dir", str(JAX_CACHE))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    # persist EVERYTHING: through the remote-compile tunnel even trivial
+    # init programs cost ~seconds-to-a-minute each on a congested day
+    # (observed 2026-08-20: ~60 s/program), and bench runs its measurements
+    # in fresh subprocesses — an unpersisted tiny program is re-paid on
+    # every attempt
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 BATCH = 8
 IMAGE_SIZE = 128

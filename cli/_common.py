@@ -30,6 +30,10 @@ if _platform:
 import jax as _jax  # noqa: E402
 
 _jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
+# persist even trivial programs: through the remote-compile tunnel a tiny
+# init program can cost seconds-to-a-minute on a congested day, and every
+# CLI subprocess would otherwise re-pay it
+_jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
 def load_vae(vae_path: str, latent_channels: int = 4, image_size: int = 256,
