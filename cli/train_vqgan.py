@@ -33,6 +33,15 @@ def main():
     ap.add_argument("--revive_usage_threshold", type=int, default=None)
     ap.add_argument("--lpips_weights", default=None,
                     help=".npz with exported VGG16+lpips weights")
+    ap.add_argument("--step_mode", default="auto",
+                    choices=["auto", "split", "fused", "scan"],
+                    help="step dispatch: 'scan' runs scan_block full steps "
+                         "per compiled program (amortizes the host's "
+                         "per-program dispatch floor, +~23%% measured "
+                         "throughput); 'auto' picks scan for runs long "
+                         "enough to amortize its block-program compile and "
+                         "per-step 'split' otherwise")
+    ap.add_argument("--scan_block", type=int, default=8)
     args = ap.parse_args()
 
     from vqgan_tpu.configs import VQGANConfig
@@ -55,8 +64,18 @@ def main():
 
     from vqgan_tpu.training.vqgan_trainer import VQGANTrainer
 
+    step_mode = args.step_mode
+    if step_mode == "auto":
+        # Block dispatch wins once its one-off block-program compile
+        # (minutes at the dialed-down effort) amortizes over the run; short
+        # debug/e2e runs stay on the per-step split programs, production
+        # runs (reference default 30k steps, train_vqgan.py:418) get scan.
+        step_mode = "scan" if config.train_steps >= 1000 else "split"
+        print(f"step_mode auto -> {step_mode} "
+              f"({config.train_steps} steps)")
     trainer = VQGANTrainer(config, split_path=args.split,
-                           lpips_params=lpips_params)
+                           lpips_params=lpips_params,
+                           step_mode=step_mode, scan_block=args.scan_block)
     if args.resume is not None:
         milestone = None if args.resume < 0 else args.resume
         step = trainer.load(milestone)

@@ -226,6 +226,23 @@ def test_committed_fallback_serves_fresh_clone(tmp_path):
     assert final_line(out)["value"] == 333.0
 
 
+def test_scan_dispatch_promoted_to_headline_when_it_wins(tmp_path):
+    """When the freshly measured scan-dispatch throughput beats the
+    per-step number, it becomes the headline (final JSON line) AND the
+    last-known-good fallback for future pre-emits — the production trainer
+    defaults to scan dispatch for long runs, so the headline should too."""
+    out = run_bench(tmp_path, {"BENCH_FAKE_SCAN_VALUE": "2.5"})
+    assert out.returncode == 0, out.stderr
+    last = final_line(out)
+    assert last["metric"] == "fake stage1_scan"
+    assert last["value"] == 2.5
+    assert "promoted" in out.stderr
+    assert json.loads(
+        (tmp_path / "headline.json").read_text())["value"] == 2.5
+    assert json.loads(
+        (tmp_path / "cache.json").read_text())["headline"]["value"] == 2.5
+
+
 def test_budget_expiry_emits_best_known_headline(tmp_path):
     seed_cache(tmp_path, value=444.0)
     # the headline measurement hangs; its explicit (absolute) timeout

@@ -51,10 +51,18 @@ class VQGANTrainer:
         lpips_params=None,
         use_mesh: bool = True,
         step_mode: str = "split",
-        fast_compile: bool = False,
+        fast_compile: Optional[bool] = None,
         scan_block: int = 8,
     ):
         assert step_mode in ("split", "fused", "scan"), step_mode
+        if fast_compile is None:
+            # Scan blocks embed the fused G+D graph, whose full-effort
+            # compile is hour-scale through this environment's remote TPU
+            # compiler; the measured exec-quality cost of dialing the effort
+            # down is a few % (BASELINE.md), far below the ~23% dispatch
+            # overhead the block amortizes — so scan defaults to fast
+            # compile, the per-step modes to full effort.
+            fast_compile = step_mode == "scan"
         self.config = config
         cfg = config
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
