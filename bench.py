@@ -287,12 +287,17 @@ def measure(timed_steps: int = TIMED_STEPS, warmup: int = 3,
 def measure_scan(block: int = 8, timed_blocks: int = 4, warmup_blocks: int = 2,
                  with_flops: bool = True, fast_compile: bool = True):
     """Time `trainer.dispatch_block` (step_mode="scan": `block` full G+D
-    steps per compiled program) in the steady state. fast_compile defaults
-    True: the scan body is the fused G+D graph, whose full-effort compile is
-    hour-scale through this environment's remote TPU compiler
-    (training/vqgan_step.py docstring); the measured exec-quality cost of
-    the dialed-down effort is a few %, far below the ~23% host-dispatch
-    overhead the block dispatch removes (results/training_roofline.json)."""
+    steps per compiled program) in the steady state.
+
+    Compile effort matters ~2.15x here, not a few %: the fast/full gap on
+    the stage-1 training graph is 103.5 vs 222.6 img/s (BASELINE.md; the
+    few-% figure is the SAMPLER's gap). Full effort is what makes scan beat
+    the per-step headline (~248 img/s device-only,
+    results/training_roofline.json) — but the fused scan body's full-effort
+    compile is hour-scale through this environment's remote TPU compiler,
+    so callers pass fast_compile=False only when `.jax_cache` already holds
+    the full-effort program (the bench extras loop tracks this via a
+    fingerprint, mirroring measure_headline's warm/cold policy)."""
     import jax.numpy as jnp
 
     trainer = build_trainer(fast_compile=fast_compile, step_mode="scan",
@@ -334,15 +339,18 @@ def bench_stage1_scan(block: int = 8) -> dict:
     """Stage-1 throughput with the scan-over-steps dispatch
     (trainer.dispatch_block): `block` full G+D training steps per compiled
     program, amortizing the 1-core host's per-program dispatch floor."""
+    fast = os.environ.get("BENCH_FAST_COMPILE", "1") == "1"
     fake = _fake("stage1_scan")
     if fake is not None:
+        if fast:
+            fake = {**fake, "fast_compile": True}
         return fake
     from vqgan_tpu.utils.flops import flops_report
 
-    ips, dt, flops = measure_scan(block=block)
+    ips, dt, flops = measure_scan(block=block, fast_compile=fast)
     cpu_ips = cpu_baseline()
     vs = ips / cpu_ips if cpu_ips == cpu_ips and cpu_ips > 0 else None
-    return {
+    out = {
         "metric": "stage1 VQ-GAN train throughput "
                   f"({IMAGE_SIZE}px, codebook {CODEBOOK}, LPIPS+PatchGAN, "
                   f"trainer dispatch_block[{block}] scan-over-steps)",
@@ -351,6 +359,13 @@ def bench_stage1_scan(block: int = 8) -> dict:
         "vs_baseline": round(vs, 2) if vs is not None else None,
         **flops_report(flops, dt),
     }
+    if fast:
+        out["fast_compile"] = True
+    else:
+        # a successful full-effort scan measurement proves the program is
+        # in .jax_cache: future runs can skip the fast-compile detour
+        _update_cache(stage1_scan_fingerprint=_stage1_fingerprint())
+    return out
 
 
 def bench_stage1(fast_compile: bool = False) -> dict:
@@ -831,8 +846,22 @@ def main():
                        f"wall-clock budget")
                 continue
             budget_s = min(budget_s, rem)
+            extra_env = None
+            if name == "stage1_scan":
+                # full effort only when the full-effort scan program is
+                # known to be in .jax_cache (fingerprint recorded by a
+                # prior successful full-effort measurement) — a cold
+                # full-effort compile of the fused scan body is hour-scale
+                # and can never fit an extra's budget
+                scan_warm = (
+                    _read_cache().get("stage1_scan_fingerprint")
+                    == _stage1_fingerprint()
+                    and (os.environ.get("BENCH_FAKE") == "1"
+                         or (JAX_CACHE.exists()
+                             and any(JAX_CACHE.iterdir()))))
+                extra_env = {"BENCH_FAST_COMPILE": "0" if scan_warm else "1"}
             _phase(f"extra {name} start (timeout {budget_s:.0f}s)")
-            metric = _run_metric(name, budget_s)
+            metric = _run_metric(name, budget_s, env=extra_env)
             if metric is None and name == "cfg_sampling":
                 # full-effort cold compile overran: retry once in
                 # fast-compile mode so config #4 always lands a number

@@ -42,6 +42,15 @@ def main():
                          "enough to amortize its block-program compile and "
                          "per-step 'split' otherwise")
     ap.add_argument("--scan_block", type=int, default=8)
+    ap.add_argument("--fast_compile", action="store_true",
+                    help="dial XLA's exec-time-optimization effort down: "
+                         "minutes-scale compiles instead of the fused scan "
+                         "body's one-off hour-scale compile on this "
+                         "environment's remote compiler, at ~2.15x slower "
+                         "steady-state steps (BASELINE.md). The compile "
+                         "cache persists full-effort programs across runs, "
+                         "so full effort (default) is the production "
+                         "choice")
     args = ap.parse_args()
 
     from vqgan_tpu.configs import VQGANConfig
@@ -75,7 +84,8 @@ def main():
               f"({config.train_steps} steps)")
     trainer = VQGANTrainer(config, split_path=args.split,
                            lpips_params=lpips_params,
-                           step_mode=step_mode, scan_block=args.scan_block)
+                           step_mode=step_mode, scan_block=args.scan_block,
+                           fast_compile=args.fast_compile or None)
     if args.resume is not None:
         milestone = None if args.resume < 0 else args.resume
         step = trainer.load(milestone)

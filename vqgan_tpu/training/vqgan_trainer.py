@@ -56,13 +56,14 @@ class VQGANTrainer:
     ):
         assert step_mode in ("split", "fused", "scan"), step_mode
         if fast_compile is None:
-            # Scan blocks embed the fused G+D graph, whose full-effort
-            # compile is hour-scale through this environment's remote TPU
-            # compiler; the measured exec-quality cost of dialing the effort
-            # down is a few % (BASELINE.md), far below the ~23% dispatch
-            # overhead the block amortizes — so scan defaults to fast
-            # compile, the per-step modes to full effort.
-            fast_compile = step_mode == "scan"
+            # Full exec-optimization effort for every mode: the fast/full
+            # gap on the stage-1 training graph is ~2.15x (BASELINE.md:
+            # 103.5 vs 222.6 img/s), so dialing the effort down is never a
+            # steady-state win. The fused scan body's full-effort compile is
+            # hour-scale through this environment's remote TPU compiler
+            # (minutes on a normal TPU host), but it is paid once — the
+            # compilation cache persists it across runs.
+            fast_compile = False
         self.config = config
         cfg = config
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
