@@ -11,6 +11,16 @@ import argparse
 from _common import REPO  # noqa: E402
 
 
+def resolve_step_mode(mode: str, train_steps: int) -> str:
+    """'auto' picks the block-dispatched scan loop for runs long enough to
+    amortize its one-off block-program compile (the reference-scale default
+    is 30k steps, train_vqgan.py:418) and the per-step split programs for
+    short/debug runs."""
+    if mode != "auto":
+        return mode
+    return "scan" if train_steps >= 1000 else "split"
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--data_path", default=None)
@@ -73,13 +83,8 @@ def main():
 
     from vqgan_tpu.training.vqgan_trainer import VQGANTrainer
 
-    step_mode = args.step_mode
-    if step_mode == "auto":
-        # Block dispatch wins once its one-off block-program compile
-        # (minutes at the dialed-down effort) amortizes over the run; short
-        # debug/e2e runs stay on the per-step split programs, production
-        # runs (reference default 30k steps, train_vqgan.py:418) get scan.
-        step_mode = "scan" if config.train_steps >= 1000 else "split"
+    step_mode = resolve_step_mode(args.step_mode, config.train_steps)
+    if step_mode != args.step_mode:
         print(f"step_mode auto -> {step_mode} "
               f"({config.train_steps} steps)")
     trainer = VQGANTrainer(config, split_path=args.split,

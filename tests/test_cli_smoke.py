@@ -134,3 +134,21 @@ def test_serving_clis_arg_validation():
         r = _run([CLI / script])
         assert r.returncode == 2, script
         assert "--artifact" in r.stderr
+
+
+def test_train_vqgan_step_mode_auto_policy():
+    """'auto' routes reference-scale runs to the block-dispatched scan loop
+    and short/debug runs to the per-step split programs; explicit modes pass
+    through untouched (no subprocess: pure policy function)."""
+    sys.path.insert(0, str(CLI))
+    try:
+        from train_vqgan import resolve_step_mode
+    finally:
+        sys.path.pop(0)
+    assert resolve_step_mode("auto", 30000) == "scan"
+    assert resolve_step_mode("auto", 1000) == "scan"
+    assert resolve_step_mode("auto", 999) == "split"
+    assert resolve_step_mode("auto", 250) == "split"
+    for mode in ("split", "fused", "scan"):
+        assert resolve_step_mode(mode, 10) == mode
+        assert resolve_step_mode(mode, 100000) == mode
