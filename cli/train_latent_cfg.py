@@ -31,6 +31,14 @@ def main():
                     help="parameter layout over the device mesh: replicated"
                          " (reference-style DP), fsdp (ZeRO-3 over 'data'),"
                          " tp (attention kernels over 'model'), fsdp_tp (2D)")
+    ap.add_argument("--step_mode", default="auto",
+                    choices=["auto", "step", "scan"],
+                    help="step dispatch: 'scan' runs scan_block full steps "
+                         "per compiled program (amortizes the host's per-"
+                         "program dispatch floor); 'auto' picks scan for "
+                         "runs long enough to amortize its block-program "
+                         "compile and per-step dispatch otherwise")
+    ap.add_argument("--scan_block", type=int, default=8)
     args = ap.parse_args()
 
     from vqgan_tpu.configs import BaselineLDMConfig, LDMConfig
@@ -50,9 +58,19 @@ def main():
 
     from vqgan_tpu.training.ldm_trainer import LatentDiffusionTrainer
 
+    step_mode = args.step_mode
+    if step_mode == "auto":
+        # same policy as cli/train_vqgan.py::resolve_step_mode — block
+        # dispatch wins once its one-off block-program compile amortizes
+        # over the run (the reference default is 100k steps,
+        # train_latent_cfg.py:380); short/debug runs stay per-step
+        step_mode = "scan" if config.train_num_steps >= 1000 else "step"
+        print(f"step_mode auto -> {step_mode} "
+              f"({config.train_num_steps} steps)")
     trainer = LatentDiffusionTrainer(
         config, split_path=args.split, vae_params=vae_params,
-        param_sharding=args.param_sharding)
+        param_sharding=args.param_sharding, step_mode=step_mode,
+        scan_block=args.scan_block)
     if args.resume is not None:
         milestone = None if args.resume < 0 else args.resume
         step = trainer.load(milestone)

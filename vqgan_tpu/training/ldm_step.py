@@ -22,7 +22,8 @@ import optax
 from ..losses.contrastive import supcon_loss
 from .ema import ema_update
 
-__all__ = ["LDMTrainState", "make_ldm_optimizer", "make_ldm_train_step"]
+__all__ = ["LDMTrainState", "make_ldm_optimizer", "make_ldm_train_step",
+           "make_ldm_scan_step"]
 
 
 class LDMTrainState(flax.struct.PyTreeNode):
@@ -61,7 +62,7 @@ def make_ldm_optimizer(
     return tx
 
 
-def make_ldm_train_step(
+def _make_step_core(
     diffusion,
     optimizer: optax.GradientTransformation,
     *,
@@ -72,9 +73,11 @@ def make_ldm_train_step(
     ema_decay: float = 0.995,
     ema_update_every: int = 10,
     ema_update_after_step: int = 100,
-    donate: bool = True,
 ):
-    """diffusion: GaussianDiffusion over the CFG U-Net apply fn."""
+    """The unjitted step body, shared by the per-step program and the
+    scan-block program. PRNG is folded by state.step inside, so per-step
+    and in-scan dispatch of the same base rng produce identical noise
+    streams (pinned by tests/test_ldm_scan.py)."""
 
     use_contrastive = contrastive_weight > 0.0
 
@@ -122,4 +125,43 @@ def make_ldm_train_step(
         )
         return new_state, log
 
-    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+    return train_step
+
+
+def make_ldm_train_step(
+    diffusion,
+    optimizer: optax.GradientTransformation,
+    *,
+    donate: bool = True,
+    **step_kwargs,
+):
+    """diffusion: GaussianDiffusion over the CFG U-Net apply fn."""
+    core = _make_step_core(diffusion, optimizer, **step_kwargs)
+    return jax.jit(core, donate_argnums=(0,) if donate else ())
+
+
+def make_ldm_scan_step(
+    diffusion,
+    optimizer: optax.GradientTransformation,
+    *,
+    donate: bool = True,
+    **step_kwargs,
+):
+    """Block dispatch for the stage-2 hot loop: `block` full training steps
+    (loss + grad + Adam + EMA) as ONE compiled `lax.scan` program over a
+    [block, B, ...] superbatch, amortizing the host's per-program dispatch
+    floor exactly like the stage-1 trainer's step_mode="scan"
+    (training/vqgan_step.py::make_vqgan_scan_steps). Step-for-step
+    identical math and PRNG stream to per-step dispatch (the core folds
+    the base rng by state.step). Returns (state, stacked_logs) with a
+    leading [block] axis on every log entry."""
+    core = _make_step_core(diffusion, optimizer, **step_kwargs)
+
+    def block_step(state: LDMTrainState, latents, classes, rng):
+        def body(carry, xs):
+            lat, cls = xs
+            return core(carry, lat, cls, rng)
+
+        return jax.lax.scan(body, state, (latents, classes))
+
+    return jax.jit(block_step, donate_argnums=(0,) if donate else ())

@@ -29,7 +29,12 @@ from ..diffusion import GaussianDiffusion
 from ..models import CFGUnet, KLVAE
 from ..models.autoencoder import AutoencoderConfig
 from ..parallel import make_mesh_for_batch, replicate, shard_batch
-from .ldm_step import LDMTrainState, make_ldm_optimizer, make_ldm_train_step
+from .ldm_step import (
+    LDMTrainState,
+    make_ldm_optimizer,
+    make_ldm_scan_step,
+    make_ldm_train_step,
+)
 from .watchdog import TrainingWatchdog, check_sample_range
 
 __all__ = ["LatentDiffusionTrainer", "build_cfg_unet_diffusion"]
@@ -103,9 +108,12 @@ class LatentDiffusionTrainer:
         use_mesh: bool = True,
         param_sharding: str = "replicated",
         fsdp_min_size: Optional[int] = None,
+        step_mode: str = "step",
+        scan_block: int = 8,
     ):
         assert param_sharding in ("replicated", "zero1", "fsdp", "tp",
                                   "fsdp_tp"), param_sharding
+        assert step_mode in ("step", "scan"), step_mode
         self.param_sharding = param_sharding
         self.fsdp_min_size = fsdp_min_size
         self.config = cfg = config
@@ -128,8 +136,7 @@ class LatentDiffusionTrainer:
             warmup_steps=cfg.warmup_steps if cfg.use_lr_warmup else 0,
             gradient_accumulate_every=cfg.gradient_accumulate_every,
         )
-        self.train_step = make_ldm_train_step(
-            self.diffusion, self.optimizer,
+        step_kwargs = dict(
             cond_drop_prob=cfg.cond_drop_prob,
             contrastive_weight=(cfg.contrastive_weight
                                 if cfg.use_contrastive_loss else 0.0),
@@ -137,6 +144,17 @@ class LatentDiffusionTrainer:
             contrastive_temperature=cfg.contrastive_temperature,
             ema_decay=cfg.ema_decay, ema_update_every=cfg.ema_update_every,
         )
+        self.step_mode = step_mode
+        self.scan_block = int(scan_block)
+        self.train_step = make_ldm_train_step(
+            self.diffusion, self.optimizer, **step_kwargs)
+        if step_mode == "scan":
+            # one program dispatches `scan_block` full steps over a
+            # [block, B, ...] superbatch (same dispatch-floor amortization
+            # as the stage-1 trainer's scan mode); the per-step program
+            # above stays built for boundary segments around host events
+            self.scan_step = make_ldm_scan_step(
+                self.diffusion, self.optimizer, **step_kwargs)
         self.state = LDMTrainState(
             step=jnp.asarray(0), params=params,
             opt_state=self.optimizer.init(params),
@@ -157,6 +175,9 @@ class LatentDiffusionTrainer:
 
                 self.train_step = pin_state_shardings(
                     self.train_step, self.state)
+                if step_mode == "scan":
+                    self.scan_step = pin_state_shardings(
+                        self.scan_step, self.state)
 
         # frozen VAE decoder for visualization (optional)
         self.vae = None
@@ -195,10 +216,25 @@ class LatentDiffusionTrainer:
     def _put(self, x):
         return shard_batch(x, self.mesh) if self.mesh is not None else x
 
-    def train(self, num_steps: Optional[int] = None, log_every: int = 50):
+    def _put_super(self, x):
+        """Explicit [block, B, ...] placement: batch axis (1) sharded over
+        'data', block axis replicated — stacking `block` batch-sharded
+        arrays must not rely on implicit GSPMD propagation for the new
+        leading axis (same rationale as VQGANTrainer._put_super)."""
+        if self.mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(x, NamedSharding(self.mesh, P(None, "data")))
+
+    def dispatch_block(self, state, latents, classes, rng):
+        """Dispatch `block` full training steps as ONE compiled program
+        (step_mode="scan"); `latents` is [block, B, ...], `classes`
+        [block, B]. Returns (state, stacked_logs)."""
+        return self.scan_step(state, latents, classes, rng)
+
+    def _make_batch_iter(self):
         cfg = self.config
-        num_steps = num_steps or cfg.train_num_steps
-        assert self.loader is not None, "no dataset configured"
         ds = self.loader.dataset
         if hasattr(ds, "fully_cached") and ds.fully_cached():
             # C++ fan-out reader over the populated latent cache
@@ -208,6 +244,15 @@ class LatentDiffusionTrainer:
             print("using native latent batch loader")
         else:
             it = iter(self.loader)
+        return it
+
+    def train(self, num_steps: Optional[int] = None, log_every: int = 50):
+        if self.step_mode == "scan":
+            return self._train_scan(num_steps, log_every)
+        cfg = self.config
+        num_steps = num_steps or cfg.train_num_steps
+        assert self.loader is not None, "no dataset configured"
+        it = self._make_batch_iter()
 
         t0 = time.time()
         start = int(jax.device_get(self.state.step))
@@ -253,6 +298,96 @@ class LatentDiffusionTrainer:
         # reference keeps model-latest.pt, train_latent_cfg.py:773-776).
         if num_steps > start and num_steps % cfg.save_and_sample_every != 0:
             self.save_and_sample(num_steps // cfg.save_and_sample_every + 1)
+
+    def _train_scan(self, num_steps: Optional[int], log_every: int):
+        """Block-dispatched stage-2 loop (step_mode="scan"): full
+        `scan_block`-sized blocks run as ONE compiled program; the segment
+        leading up to any host event (log / save+sample cadence, end of
+        training) finishes per-step, so event timing matches the per-step
+        loop exactly. Watchdog coverage stays per-step via the stacked
+        block losses, pipelined one dispatch behind; the first non-finite
+        loss drains the just-dispatched block immediately, so the 3-strike
+        divergence abort fires within ~block steps of the first NaN (same
+        contract as VQGANTrainer._train_scan)."""
+        cfg = self.config
+        num_steps = num_steps or cfg.train_num_steps
+        assert self.loader is not None, "no dataset configured"
+        block = max(1, self.scan_block)
+        from ..data.prefetch import device_prefetch
+
+        pre = device_prefetch(
+            self._make_batch_iter(),
+            lambda b: (self._put(jnp.asarray(b[0])),
+                       self._put(jnp.asarray(b[1]))), depth=2)
+
+        t0 = time.time()
+        start = int(jax.device_get(self.state.step))
+        t_logged = start
+        pending = None  # (end_step, stacked per-step losses)
+
+        def next_event(s: int) -> int:
+            cadences = (log_every, cfg.save_and_sample_every)
+            return min([num_steps] + [(s // c + 1) * c for c in cadences])
+
+        step = start
+        while step < num_steps:
+            boundary = next_event(step)
+            if boundary - step >= block:
+                lats, labs = [], []
+                for _ in range(block):
+                    _, (lat, lab) = next(pre)
+                    lats.append(lat)
+                    labs.append(lab)
+                self.state, logs = self.dispatch_block(
+                    self.state, self._put_super(jnp.stack(lats)),
+                    self._put_super(jnp.stack(labs)), self._rng)
+                n_done = block
+            else:
+                _, (lat, lab) = next(pre)
+                self.state, log1 = self.train_step(
+                    self.state, lat, lab, self._rng)
+                logs = jax.tree.map(lambda x: jnp.asarray(x)[None], log1)
+                n_done = 1
+            step += n_done
+
+            cur = (step, logs["loss"])
+            if pending is not None and self._drain_scan_losses(pending):
+                self._drain_scan_losses(cur)
+                cur = None
+            pending = cur
+
+            if step % log_every == 0:
+                last = jax.tree.map(lambda x: x[-1], logs)
+                host = {k: float(v) for k, v in
+                        jax.device_get(last).items()}
+                ips = (step - t_logged) * cfg.train_batch_size / (
+                    time.time() - t0)
+                t0, t_logged = time.time(), step
+                self.metrics.log(step, host)
+                msg = f"step {step}/{num_steps} loss={host['loss']:.4f}"
+                if "contrastive_loss" in host:
+                    msg += f" contrastive={host['contrastive_loss']:.4f}"
+                print(msg + f" ({ips:.1f} latents/s)")
+
+            if step % cfg.save_and_sample_every == 0:
+                self.save_and_sample(step // cfg.save_and_sample_every)
+
+        if pending is not None:
+            self._drain_scan_losses(pending)
+        if num_steps > start and num_steps % cfg.save_and_sample_every != 0:
+            self.save_and_sample(num_steps // cfg.save_and_sample_every + 1)
+
+    def _drain_scan_losses(self, pending) -> bool:
+        """Fetch one dispatch's stacked per-step losses and run the
+        watchdog over each (raises TrainingDiverged on the 3rd non-finite
+        strike); returns True if any loss in the block was non-finite."""
+        end_step, losses = pending
+        arr = np.asarray(jax.device_get(losses)).reshape(-1)
+        for i, lv in enumerate(arr):
+            for w in self.watchdog.check(end_step - len(arr) + 1 + i,
+                                         float(lv)):
+                print(f"  [watchdog] {w}")
+        return not bool(np.isfinite(arr).all())
 
     # ------------------------------------------------------------------
 
