@@ -10,6 +10,9 @@ Also measured (unless BENCH_SKIP_EXTRAS=1):
   config #5 — EDM stochastic-Heun-32 sampling with the Karras MP U-Net @64px
   config #5b — EDM DPM++(2M) batch-128 throughput mode
   stage1_scan — the scan-over-steps trainer dispatch (dispatch_block)
+Manual-only (python bench.py --only <name>; kept out of EXTRAS so the
+driver's wall-clock budget stays on the BASELINE configs):
+  stage2 / stage2_scan — LDM train throughput, per-step vs block dispatch
 
 Each metric prints one JSON line
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
@@ -366,6 +369,94 @@ def bench_stage1_scan(block: int = 8) -> dict:
         # in .jax_cache: future runs can skip the fast-compile detour
         _update_cache(stage1_scan_fingerprint=_stage1_fingerprint())
     return out
+
+
+def measure_stage2(step_mode: str = "step", block: int = 8,
+                   timed_steps: int = 40, warmup_steps: int = 8):
+    """Stage-2 LDM training throughput (flagship dim-96 CFG U-Net on 32x32x4
+    latents, batch 8 — the train_latent_cfg.py hot loop) through the
+    trainer's production dispatch: per-step `train_step` or the
+    block-dispatched `dispatch_block` (step_mode="scan"). FLOPs come from
+    the per-step program's cost analysis (XLA counts a scan body once)."""
+    import tempfile
+
+    import jax.numpy as jnp
+
+    from vqgan_tpu.configs import LDMConfig
+    from vqgan_tpu.training.ldm_trainer import LatentDiffusionTrainer
+    from vqgan_tpu.utils.flops import jit_flops
+
+    cfg = LDMConfig(results_folder=tempfile.mkdtemp(prefix="bench_ldm_"))
+    trainer = LatentDiffusionTrainer(
+        cfg, use_mesh=False, step_mode=step_mode, scan_block=block)
+    b = cfg.train_batch_size
+    rng = jax.random.PRNGKey(0)
+    lat = jax.random.normal(
+        jax.random.PRNGKey(1),
+        (b, cfg.latent_size, cfg.latent_size, cfg.latent_channels))
+    cls = (jnp.arange(b) % cfg.num_users).astype(jnp.int32)
+
+    # FLOPs before any dispatch (train_step donates its state argument)
+    abstract = lambda t: jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), x.dtype), t)
+    flops = jit_flops(trainer.train_step, abstract(trainer.state),
+                      abstract(lat), abstract(cls), abstract(rng))
+
+    state = trainer.state
+    if step_mode == "scan":
+        sup_lat = jax.random.normal(
+            jax.random.PRNGKey(2), (block, *lat.shape))
+        sup_cls = jnp.tile(cls, (block, 1))
+        dispatch = lambda s: trainer.dispatch_block(s, sup_lat, sup_cls, rng)
+        steps_per_call = block
+    else:
+        dispatch = lambda s: trainer.train_step(s, lat, cls, rng)
+        steps_per_call = 1
+
+    warm_calls = max(1, warmup_steps // steps_per_call)
+    timed_calls = max(1, timed_steps // steps_per_call)
+    for _ in range(warm_calls):
+        state, log = dispatch(state)
+    jax.block_until_ready(log["loss"])
+    t0 = time.perf_counter()
+    for _ in range(timed_calls):
+        state, log = dispatch(state)
+    jax.block_until_ready(log["loss"])
+    dt = (time.perf_counter() - t0) / (timed_calls * steps_per_call)
+    return b / dt, dt, flops
+
+
+def _bench_stage2(step_mode: str, block: int = 8) -> dict:
+    from vqgan_tpu.utils.flops import flops_report
+
+    ips, dt, flops = measure_stage2(step_mode=step_mode, block=block)
+    how = ("per-step train_step" if step_mode == "step"
+           else f"dispatch_block[{block}] scan-over-steps")
+    return {
+        "metric": "stage2 LDM train throughput (dim-96 CFG U-Net, "
+                  f"32x32x4 latents, Min-SNR pred_v, EMA; trainer {how})",
+        "value": round(ips, 3),
+        "unit": "latents/sec/chip",
+        "vs_baseline": None,
+        **flops_report(flops, dt),
+    }
+
+
+def bench_stage2() -> dict:
+    """Manual-only (python bench.py --only stage2): not in EXTRAS so the
+    driver's wall-clock budget stays reserved for the BASELINE configs."""
+    fake = _fake("stage2")
+    if fake is not None:
+        return fake
+    return _bench_stage2("step")
+
+
+def bench_stage2_scan() -> dict:
+    """Manual-only (python bench.py --only stage2_scan)."""
+    fake = _fake("stage2_scan")
+    if fake is not None:
+        return fake
+    return _bench_stage2("scan")
 
 
 def bench_stage1(fast_compile: bool = False) -> dict:
@@ -903,6 +994,8 @@ if __name__ == "__main__":
                 fast_compile=os.environ.get("BENCH_FAST_COMPILE") == "1"))
         else:
             fn = {"stage1_scan": bench_stage1_scan,
+                  "stage2": bench_stage2,
+                  "stage2_scan": bench_stage2_scan,
                   "cfg_sampling": bench_cfg_sampling,
                   "edm": bench_edm, "edm_dpmpp": bench_edm_dpmpp}[name]
             _emit(fn())
