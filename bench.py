@@ -452,11 +452,13 @@ def bench_stage2() -> dict:
 
 
 def bench_stage2_scan() -> dict:
-    """Manual-only (python bench.py --only stage2_scan)."""
+    """Manual-only (python bench.py --only stage2_scan). BENCH_STAGE2_BLOCK
+    overrides the block size (default 8) for amortization sweeps."""
     fake = _fake("stage2_scan")
     if fake is not None:
         return fake
-    return _bench_stage2("scan")
+    return _bench_stage2("scan",
+                         block=int(os.environ.get("BENCH_STAGE2_BLOCK", "8")))
 
 
 def bench_stage1(fast_compile: bool = False) -> dict:
