@@ -259,7 +259,10 @@ def main():
     ap.add_argument("--ldm_steps", type=int, default=600)
     ap.add_argument("--vqgan_steps", type=int, default=250)
     ap.add_argument("--gen_per_user", type=int, default=8)
-    ap.add_argument("--classifier_epochs", type=int, default=3)
+    # 10, not 3: at 3 epochs the ResNet18 is still in the underfit cliff
+    # (round-5 measurement: 6.7% test accuracy at 3 epochs vs 55.7% at 10
+    # on the same split) and epochs cost ~5 s each after the first
+    ap.add_argument("--classifier_epochs", type=int, default=10)
     ap.add_argument("--stages", nargs="*", default=None,
                     help="subset of stage names to run")
     ap.add_argument("--vae_ckpt", default=None,
