@@ -243,6 +243,35 @@ def test_scan_dispatch_promoted_to_headline_when_it_wins(tmp_path):
         (tmp_path / "cache.json").read_text())["headline"]["value"] == 2.5
 
 
+def _stage1_fingerprint():
+    """Compute the fingerprint the way bench.py does (BENCH_FAKE=1 skips
+    the jax-version component, so this stays jax-free)."""
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import bench; print(bench._stage1_fingerprint())"],
+        capture_output=True, text=True, cwd=str(REPO),
+        env=dict(os.environ, BENCH_FAKE="1"))
+    return out.stdout.strip()
+
+
+def test_scan_extra_full_effort_only_when_fingerprinted(tmp_path):
+    """The stage1_scan extra must run at full effort ONLY when a prior
+    full-effort measurement fingerprinted the program into the cache — a
+    cold scan body's hour-scale full-effort compile can never fit an
+    extra's budget, so cold runs get a fast_compile-tagged number."""
+    # cold: no fingerprint -> fast-compile mode
+    out = run_bench(tmp_path, {})
+    lines = {l["metric"]: l for l in json_lines(out)}
+    assert lines["fake stage1_scan"].get("fast_compile") is True
+
+    # warm: fingerprint recorded -> full effort (no fast_compile tag)
+    (tmp_path / "cache.json").write_text(json.dumps(
+        {"stage1_scan_fingerprint": _stage1_fingerprint()}))
+    out = run_bench(tmp_path, {})
+    lines = {l["metric"]: l for l in json_lines(out)}
+    assert "fast_compile" not in lines["fake stage1_scan"]
+
+
 def test_budget_expiry_emits_best_known_headline(tmp_path):
     seed_cache(tmp_path, value=444.0)
     # the headline measurement hangs; its explicit (absolute) timeout
