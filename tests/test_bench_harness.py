@@ -243,6 +243,29 @@ def test_scan_dispatch_promoted_to_headline_when_it_wins(tmp_path):
         (tmp_path / "cache.json").read_text())["headline"]["value"] == 2.5
 
 
+def test_promoted_headline_survives_next_run(tmp_path):
+    """After a promotion, the cached headline IS the scan metric; on the
+    next run the fresh per-step measurement is lower, but the scan extra
+    re-promotes — the final line never ratchets down while scan keeps
+    winning (the flow of two consecutive real bench runs)."""
+    (tmp_path / "cache.json").write_text(json.dumps({
+        "headline": {"metric": "fake stage1_scan", "value": 2.5,
+                     "unit": "fake/sec", "vs_baseline": None}}))
+    out = run_bench(tmp_path, {"BENCH_FAKE_SCAN_VALUE": "2.5"})
+    assert out.returncode == 0, out.stderr
+    lines = json_lines(out)
+    assert lines[0]["metric"] == "fake stage1_scan"  # pre-emit
+    assert lines[0].get("cached") is True
+    # fresh per-step measurement (1.0) is emitted mid-run...
+    assert any(l["metric"] == "fake stage1" and l["value"] == 1.0
+               for l in lines)
+    # ...but the scan extra re-promotes and wins the final line
+    last = final_line(out)
+    assert last["metric"] == "fake stage1_scan"
+    assert last["value"] == 2.5
+    assert "cached" not in last
+
+
 def _stage1_fingerprint():
     """Compute the fingerprint the way bench.py does (BENCH_FAKE=1 skips
     the jax-version component, so this stays jax-free)."""
